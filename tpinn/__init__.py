@@ -1,0 +1,58 @@
+"""tpinn — TPU-native Physics-Informed Neural Network framework for fluid dynamics.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+giuliamesc/PINNs_Fluid_Dynamics and its underlying TF-based ``nisaba`` library
+(see SURVEY.md for the full inferred API contract).
+
+The top-level namespace intentionally mirrors the nisaba surface so that a user
+of the reference can do ``import tpinn as ns`` and keep their driver scripts
+(reference call sites: Examples/Poiseuille_Flow/poiseuille_flow.py:169-270):
+
+    ns.config.get_dtype()
+    ns.GradientTape(persistent=True)
+    ns.experimental.physics.tens_style.{gradient_scalar, divergence_vector, laplacian_scalar}
+    ns.Loss / ns.LossMeanSquares
+    ns.OptimizationProblem
+    ns.minimize(pb, 'keras'|'scipy'|'jax', ...)
+    ns.utils.{HistoryPlotCallback, plot_history, load_json}
+
+Underneath, everything is functional JAX: residuals are pure functions of
+(params, points), differentiated with forward-over-reverse autodiff, fused by
+XLA into a single jitted train step, and shardable over a TPU device mesh along
+the collocation-point axis (see tpinn.sharding).
+"""
+
+from tpinn import config
+from tpinn.tape import GradientTape
+from tpinn.losses import Loss, LossMeanSquares
+from tpinn.problem import OptimizationProblem
+from tpinn.optimize import minimize
+from tpinn import utils
+from tpinn import experimental
+from tpinn import models
+from tpinn import operators
+from tpinn import geometry
+from tpinn import history
+from tpinn import sharding
+from tpinn import checkpoint
+from tpinn import optimizers
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "config",
+    "GradientTape",
+    "Loss",
+    "LossMeanSquares",
+    "OptimizationProblem",
+    "minimize",
+    "utils",
+    "experimental",
+    "models",
+    "operators",
+    "geometry",
+    "history",
+    "sharding",
+    "checkpoint",
+    "optimizers",
+]

@@ -1,0 +1,237 @@
+"""Optimization driver: ``minimize(pb, strategy, ...)``.
+
+Reference contract (SURVEY.md §2.1, §3.2):
+
+* ``ns.minimize(pb, 'keras', Adam(lr), num_epochs)`` — full-batch first-order
+  round; logged as ``keras_Adam``; iterations 0..num_epochs with log stride 10.
+* ``ns.minimize(pb, 'scipy', 'BFGS'|'L-BFGS-B', num_epochs)`` — host
+  quasi-Newton round via scipy.optimize with device-computed value+gradient;
+  logged as ``scipy_BFGS`` / ``scipy_L-BFGS-B``.
+
+TPU-native addition:
+
+* ``minimize(pb, 'jax', 'L-BFGS', num_epochs)`` — fully on-device L-BFGS
+  (optax.lbfgs with zoom linesearch) in a chunked ``lax.scan``: no per-step
+  host↔device round-trips.  The reference's scipy path crosses host↔device
+  every iteration ~10k times (SURVEY.md §3.2b); this path crosses once per
+  log stride, and only to append floats to the history.
+
+All strategies share one jitted value_and_grad and one jitted full-evaluation
+function (per-loss raw values for the history), so each round re-uses the
+compiled step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.flatten_util import ravel_pytree
+
+from tpinn.history import LOG_STRIDE
+from tpinn.optimizers import _OptaxShim
+from tpinn.problem import OptimizationProblem
+
+
+def _log_point(pb, eval_fn, params, iter_in_round: int) -> None:
+    total, train, test = jax.device_get(eval_fn(params))
+    pb.history.append(iter_in_round, float(total), train, test)
+    global_iter = pb.history.round_starts[-1] + iter_in_round
+    pb.fire_callbacks(global_iter)
+
+
+def _log_iters(num_epochs: int, stride: int):
+    """Iterations (within a round) at which the reference logs: 0, s, 2s, ...
+    plus the final iteration when not already a multiple of the stride."""
+    iters = list(range(0, num_epochs + 1, stride))
+    if iters[-1] != num_epochs:
+        iters.append(num_epochs)
+    return iters
+
+
+# ---------------------------------------------------------------------------
+# First-order round (keras_Adam parity)
+# ---------------------------------------------------------------------------
+
+
+def _minimize_first_order(pb, optimizer, num_epochs: int, round_name: str):
+    if isinstance(optimizer, _OptaxShim):
+        opt = optimizer.to_optax()
+    elif isinstance(optimizer, optax.GradientTransformation):
+        opt = optimizer
+    elif isinstance(optimizer, (int, float)):
+        opt = optax.adam(float(optimizer))
+    elif optimizer is None:
+        opt = optax.adam(1e-2)
+    else:
+        raise TypeError(f"unsupported optimizer: {optimizer!r}")
+
+    params = pb.variables.get()
+    opt_state = opt.init(params)
+    loss_fn = pb.loss_fn
+    eval_fn = pb.eval_jit()
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def run_chunk(params, opt_state, n_steps):
+        def body(carry, _):
+            p, s = carry
+            _, g = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), None
+
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        return params, opt_state
+
+    pb.history.start_round(round_name)
+    t0 = time.perf_counter()
+    _log_point(pb, eval_fn, params, 0)
+    done = 0
+    for target in _log_iters(num_epochs, LOG_STRIDE)[1:]:
+        params, opt_state = run_chunk(params, opt_state, target - done)
+        done = target
+        _log_point(pb, eval_fn, params, done)
+    pb.variables.set(params)
+    pb.history.add_wall_time(time.perf_counter() - t0)
+    pb.fire_callbacks(pb.history.iters[-1], force=True)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# scipy quasi-Newton round (scipy_BFGS / scipy_L-BFGS-B parity)
+# ---------------------------------------------------------------------------
+
+
+def _minimize_scipy(pb, method: str, num_epochs: int):
+    from scipy import optimize as sciopt
+
+    params = pb.variables.get()
+    x0, unravel = ravel_pytree(params)
+    work_dtype = x0.dtype
+    eval_fn = pb.eval_jit()
+    vg = pb.value_and_grad()
+
+    def fun(x_np):
+        x = unravel(jnp.asarray(x_np, dtype=work_dtype))
+        loss, grad = vg(x)
+        g_flat, _ = ravel_pytree(grad)
+        return float(loss), np.asarray(g_flat, dtype=np.float64)
+
+    pb.history.start_round(f"scipy_{method}")
+    t0 = time.perf_counter()
+    _log_point(pb, eval_fn, params, 0)
+
+    it_counter = {"n": 0}
+
+    def callback(xk):
+        it_counter["n"] += 1
+        n = it_counter["n"]
+        if n % LOG_STRIDE == 0:
+            p = unravel(jnp.asarray(xk, dtype=work_dtype))
+            _log_point(pb, eval_fn, p, n)
+
+    res = sciopt.minimize(
+        fun,
+        np.asarray(x0, dtype=np.float64),
+        jac=True,
+        method=method,
+        callback=callback,
+        options={"maxiter": num_epochs},
+    )
+    params = unravel(jnp.asarray(res.x, dtype=work_dtype))
+    pb.variables.set(params)
+    n = it_counter["n"]
+    if n % LOG_STRIDE != 0:
+        _log_point(pb, eval_fn, params, n)
+    pb.history.add_wall_time(time.perf_counter() - t0)
+    pb.fire_callbacks(pb.history.iters[-1], force=True)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# On-device L-BFGS round (TPU-native; no host round-trips in the hot loop)
+# ---------------------------------------------------------------------------
+
+
+def _minimize_jax_lbfgs(pb, num_epochs: int, memory_size: int = 20):
+    params = pb.variables.get()
+    loss_fn = pb.loss_fn
+    eval_fn = pb.eval_jit()
+
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=20, initial_guess_strategy="one"
+        ),
+    )
+    opt_state = opt.init(params)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def run_chunk(params, opt_state, n_steps):
+        def body(carry, _):
+            p, s = carry
+            value, grad = value_and_grad(p, state=s)
+            updates, s = opt.update(
+                grad, s, p, value=value, grad=grad, value_fn=loss_fn
+            )
+            p = optax.apply_updates(p, updates)
+            return (p, s), None
+
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        return params, opt_state
+
+    pb.history.start_round("jax_L-BFGS")
+    t0 = time.perf_counter()
+    _log_point(pb, eval_fn, params, 0)
+    done = 0
+    for target in _log_iters(num_epochs, LOG_STRIDE)[1:]:
+        params, opt_state = run_chunk(params, opt_state, target - done)
+        done = target
+        _log_point(pb, eval_fn, params, done)
+    pb.variables.set(params)
+    pb.history.add_wall_time(time.perf_counter() - t0)
+    pb.fire_callbacks(pb.history.iters[-1], force=True)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Public entry point
+# ---------------------------------------------------------------------------
+
+
+def minimize(
+    pb: OptimizationProblem,
+    strategy: str,
+    optimizer: Union[str, object, None] = None,
+    num_epochs: int = 100,
+    **kwargs,
+):
+    """Run one optimization round; appends to pb.history and updates params.
+
+    strategy: 'keras' (alias 'adam') | 'scipy' | 'jax' (alias 'lbfgs').
+    """
+    strategy = strategy.lower()
+    if strategy in ("keras", "adam"):
+        name = getattr(optimizer, "name", None) or "Adam"
+        return _minimize_first_order(
+            pb, optimizer, num_epochs, round_name=f"keras_{name}"
+        )
+    if strategy == "scipy":
+        method = optimizer if isinstance(optimizer, str) else "BFGS"
+        return _minimize_scipy(pb, method, num_epochs)
+    if strategy in ("jax", "lbfgs"):
+        return _minimize_jax_lbfgs(pb, num_epochs, **kwargs)
+    raise ValueError(f"unknown strategy {strategy!r}")

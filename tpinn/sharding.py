@@ -1,0 +1,88 @@
+"""Point-axis data parallelism over a TPU device mesh.
+
+The reference is single-process, single-device, full-batch TF eager — there is
+no parallelism of any kind (SURVEY.md §2.4).  The workload's natural parallel
+axis is the collocation/boundary/fitting **point batch**: every loss is a
+mean of per-point residuals, so sharding points over a 1-D mesh turns each
+``LossMeanSquares`` into a local mean plus one ``psum`` — which XLA inserts
+automatically when the point arrays carry a ``NamedSharding`` and the
+computation is jitted.  Parameters (a few k floats) are replicated.
+
+Usage (works with the nisaba-style API unchanged):
+
+    mesh = tpinn.sharding.point_mesh()
+    dom_grid = tpinn.sharding.shard_points(dom_grid, mesh)
+    ... build losses / minimize as usual ...
+
+The jitted loss evaluation then partitions every pointwise computation across
+devices with loss/gradient reductions riding the ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+POINT_AXIS = "points"
+
+
+def point_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over all (or the first n) local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (POINT_AXIS,))
+
+
+def point_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(POINT_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(arr, multiple: int, axis: int = 0, pad_value=0.0):
+    """Pad the point axis so it divides evenly across the mesh.
+
+    Returns (padded_array, original_length).  Means over padded residuals must
+    be corrected by the caller or masked; for PINN batches we instead sample
+    point counts that are multiples of the mesh size, so this is a fallback.
+    """
+    n = arr.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, n
+    pad_width = [(0, 0)] * arr.ndim
+    pad_width[axis] = (0, rem)
+    return jnp.pad(arr, pad_width, constant_values=pad_value), n
+
+
+def shard_points(arr, mesh: Mesh, pad: bool = True):
+    """Place an (N, ...) point batch with its leading axis sharded on the mesh.
+
+    If N does not divide the mesh size and ``pad`` is True, the batch is
+    padded by repeating the final point (repetition keeps residual means
+    *nearly* exact; prefer divisible batch sizes for exactness).
+    """
+    arr = jnp.asarray(arr)
+    n_dev = mesh.devices.size
+    if arr.shape[0] % n_dev != 0:
+        if not pad:
+            raise ValueError(
+                f"point count {arr.shape[0]} not divisible by mesh size {n_dev}"
+            )
+        rem = (-arr.shape[0]) % n_dev
+        arr = jnp.concatenate([arr, jnp.repeat(arr[-1:], rem, axis=0)], axis=0)
+    return jax.device_put(arr, point_sharding(mesh))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a parameter pytree across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
