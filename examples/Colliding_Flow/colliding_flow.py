@@ -1,0 +1,75 @@
+"""Colliding flow — steady Stokes (convection retained) with analytic
+polynomial solution, fully-Dirichlet boundary, pressure fixed through a
+single fitting point (reference: Examples/Colliding_Flow/colliding_flow.py).
+"""
+
+import argparse
+import os
+
+from tpinn.config import SimulationOptions
+from tpinn.driver import CaseSpec, StandardNSDriver
+from tpinn.oracles import analytic
+from tpinn.pipeline import NSPhysics
+
+LOSS_GROUPS = {
+    "Test_Loss": ["u_test", "v_test", "p_test"],
+    "Equations_Residuals": ["PDE_MASS", "PDE_MOMU", "PDE_MOMV"],
+    "Boundary_Cond_U": ["BCD_u_x0", "BCD_u_x1", "BCD_u_y0", "BCD_u_y1"],
+    "Boundary_Cond_V": ["BCD_v_x0", "BCD_v_x1", "BCD_v_y0", "BCD_v_y1"],
+    "Fitting Loss": ["Fit_u", "Fit_v", "Fit_p"],
+}
+
+
+def build_spec() -> CaseSpec:
+    u_f, v_f, p_f = analytic.colliding_u, analytic.colliding_v, analytic.colliding_p
+    return CaseSpec(
+        name="Colliding_Flow",
+        extents=[(-1.0, 1.0), (-1.0, 1.0)],
+        grid_shape=(100, 100),
+        physics=NSPhysics(conv=1.0, visc=1.0),
+        exact=(u_f, v_f, p_f),
+        bnd_val={
+            0: {"BOT": u_f, "DX": u_f, "TOP": u_f, "SX": u_f},
+            1: {"BOT": v_f, "DX": v_f, "TOP": v_f, "SX": v_f},
+        },
+        weights={"PDE_MASS": 1e1},
+        pressure_gauge="fit",
+    )
+
+
+def default_options() -> SimulationOptions:
+    # reference run #003: 1000 PDE / 100 BC / 5 vel + 1 pres fit / 10k test
+    return SimulationOptions(
+        epochs=10000, noise_fit=0.0, noise_bnd=0.0,
+        n_pde=1000, n_bc=100, n_ic=100, n_vel=5, n_pres=1, n_test=10000,
+    )
+
+
+def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
+         seed=0):
+    cwd = base_dir or os.path.dirname(os.path.abspath(__file__))
+    opts_file = os.path.join(cwd, "simulation_options.txt")
+    opts = (SimulationOptions.from_file(opts_file)
+            if os.path.exists(opts_file) else default_options())
+    if epochs is not None:
+        opts.epochs = epochs
+
+    driver = StandardNSDriver(
+        build_spec(), opts, base_dir=cwd, save_results=save_results,
+        seed=seed, second_round=second_round,
+    )
+    driver.train()
+    driver.save_artifacts(loss_groups=LOSS_GROUPS)
+    print("final test losses:", driver.final_test_losses())
+    return driver
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "none"])
+    ap.add_argument("--scratch", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    main(args.epochs, save_results=not args.scratch,
+         second_round=args.second_round, seed=args.seed)

@@ -36,6 +36,10 @@ from tpinn import history
 from tpinn import sharding
 from tpinn import checkpoint
 from tpinn import optimizers
+from tpinn import experiment
+from tpinn import viz
+from tpinn import pipeline
+from tpinn import oracles
 
 __version__ = "0.1.0"
 
@@ -55,4 +59,8 @@ __all__ = [
     "sharding",
     "checkpoint",
     "optimizers",
+    "experiment",
+    "viz",
+    "pipeline",
+    "oracles",
 ]

@@ -1,0 +1,391 @@
+"""Config-driven standard case driver.
+
+Each reference driver is a ~300–490-line script repeating 13 pipeline stages
+(SURVEY.md §2.2).  ``StandardNSDriver`` implements those stages once for
+rectangular (optionally space-time) domains; an example case is then ~60
+lines of configuration (see examples/).  Mesh-based cases (coronary) use the
+lower-level tpinn.pipeline primitives directly.
+
+Stage parity map (reference line refs → here):
+  1  experiment-folder autonumbering (poiseuille_flow.py:20-33) → tpinn.experiment
+  2  simulation_options.txt         (:37-58)  → tpinn.config.SimulationOptions
+  3  grid + index splits            (:95-109) → tpinn.geometry
+  4  exact-solution ingestion       (:113-121)→ CaseSpec.exact / exact_data
+  5  spread normalization           (:125-132)→ tpinn.geometry.Normalization
+  6  noise injection                (:153-165)→ tpinn.geometry.generate_noise
+  7  loss construction              (:169-258)→ tpinn.pipeline builders
+  8  model                          (:228-233)→ tpinn.models.MLP
+  9  two-round training             (:269-270)→ tpinn.optimize.minimize
+  10 checkpointing                  (:272-275)→ tpinn.checkpoint.save_experiment
+  11 post-processing contours       (:280-350)→ tpinn.viz.contour_compare
+  12 loss-trend plot                (:357-385)→ tpinn.viz.plot_loss_groups
+  13 recap                          (:389-406)→ tpinn.experiment.write_recap
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpinn import checkpoint as ckpt
+from tpinn import experiment, viz
+from tpinn.config import SimulationOptions
+from tpinn.geometry import (
+    Normalization,
+    generate_noise,
+    initial_condition_points,
+    rect_boundary_points,
+    rect_grid,
+    space_time_grid,
+    split_indices,
+)
+from tpinn.losses import Loss, LossMeanSquares
+from tpinn.models import MLP, Model
+from tpinn.optimize import minimize
+from tpinn.optimizers import Adam
+from tpinn.pipeline import (
+    NSPhysics,
+    ResidualBundle,
+    dirichlet_residual,
+    mass_residual,
+    momentum_residual,
+    neumann_residual,
+    pressure_mean_penalty,
+)
+from tpinn.problem import OptimizationProblem
+from tpinn.utils import HistoryPlotCallback
+
+BndValue = Union[float, Callable, None]
+
+
+@dataclasses.dataclass
+class CaseSpec:
+    """Declarative description of a rectangular Navier–Stokes PINN case."""
+
+    name: str
+    extents: Sequence[Tuple[float, float]]
+    physics: NSPhysics = NSPhysics()
+    grid_shape: Tuple[int, int] = (100, 100)
+    # exact solution: callables (u, v, p)(points)->(N,) or precomputed arrays
+    exact: Optional[Tuple[Callable, Callable, Callable]] = None
+    exact_data: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+    # Dirichlet boundary values per component {0: {edge: value}, 1: {...}}
+    # value: float | callable(points)->(N,) | None (edge handled by Neumann)
+    bnd_val: Optional[Dict[int, Dict[str, BndValue]]] = None
+    # Neumann specs {(edge, component): direction}; rhs comes from bnd_val
+    neumann: Dict[Tuple[str, int], object] = dataclasses.field(default_factory=dict)
+    weights: Dict[str, float] = dataclasses.field(default_factory=dict)
+    unsteady: bool = False
+    time_horizon: float = 0.0
+    dt: float = 0.0
+    width: int = 32
+    depth: int = 3
+    pressure_gauge: Optional[str] = None  # None | 'fit' | 'mean'
+    uniform_mesh: bool = True
+
+    @property
+    def dim_in(self) -> int:
+        return 3 if self.unsteady else 2
+
+    def weight(self, key: str, default: float = 1.0) -> float:
+        return float(self.weights.get(key, default))
+
+
+class StandardNSDriver:
+    def __init__(
+        self,
+        spec: CaseSpec,
+        opts: SimulationOptions,
+        base_dir: str = ".",
+        save_results: bool = True,
+        seed: int = 0,
+        second_round: str = "scipy",  # 'scipy' | 'jax' | 'none'
+        scipy_method: str = "BFGS",
+        adam_epochs: int = 100,
+        adam_lr: float = 1e-2,
+    ):
+        self.spec = spec
+        self.opts = opts
+        self.base_dir = base_dir
+        self.save_results = save_results
+        self.seed = seed
+        self.second_round = second_round
+        self.scipy_method = scipy_method
+        self.adam_epochs = adam_epochs
+        self.adam_lr = adam_lr
+        self.folder: Optional[str] = None
+        self._build()
+
+    # ------------------------------------------------------------------ build
+    def _build(self) -> None:
+        spec, opts = self.spec, self.opts
+        key = jax.random.PRNGKey(self.seed)
+        (
+            k_grid,
+            k_split,
+            k_bnd,
+            k_ic,
+            k_noise_b,
+            k_noise_f,
+        ) = jax.random.split(key, 6)
+
+        # stage 3: grid
+        if spec.unsteady:
+            n1, n2 = spec.grid_shape
+            (lx, ux), (ly, uy) = spec.extents
+            t_vec = np.arange(0.0, spec.time_horizon, step=spec.dt)
+            x_vec = np.linspace(lx, ux, n1 + 1)
+            y_vec = np.linspace(ly, uy, n2 + 1)
+            self.dom_grid = space_time_grid(t_vec, x_vec, y_vec)
+        else:
+            self.dom_grid = rect_grid(
+                spec.extents, spec.grid_shape, spec.uniform_mesh, k_grid
+            )
+        n_total = self.dom_grid.shape[0]
+        self.idx_set = split_indices(k_split, n_total, opts.n_pts)
+
+        # stage 4: exact solution on the grid
+        if spec.exact_data is not None:
+            u_ex, v_ex, p_ex = (jnp.asarray(a) for a in spec.exact_data)
+        elif spec.exact is not None:
+            u_f, v_f, p_f = spec.exact
+            u_ex = jnp.asarray(u_f(self.dom_grid))
+            v_ex = jnp.asarray(v_f(self.dom_grid))
+            p_ex = jnp.asarray(p_f(self.dom_grid))
+        else:
+            raise ValueError("CaseSpec needs exact callables or exact_data")
+        self.exact_fields = (u_ex, v_ex, p_ex)
+
+        # stage 5: normalization
+        self.norm = Normalization(u_ex, v_ex, p_ex)
+        nv, npre = self.norm.norm_vel, self.norm.norm_pre
+        self.sol_norm = [u_ex / nv, v_ex / nv, p_ex / npre]
+
+        # stage 6/7: boundary points + values (+ noise)
+        self.bnd_pts = rect_boundary_points(
+            k_bnd,
+            spec.extents,
+            opts.n_bc,
+            time_horizon=spec.time_horizon if spec.unsteady else None,
+        )
+        self.bnd_val_num: Dict[int, Dict[str, jnp.ndarray]] = {0: {}, 1: {}}
+        nk = jax.random.split(k_noise_b, 8)
+        i = 0
+        for comp in (0, 1):
+            for edge, value in (spec.bnd_val or {}).get(comp, {}).items():
+                pts = self.bnd_pts[edge]
+                # Dirichlet values live in normalized space (reference divides
+                # by norm_vel, poiseuille_flow.py:146-149); Neumann rhs stays
+                # physical — it is subtracted from the physical traction
+                # inside neumann_residual before the residual rescale.
+                is_neumann = (edge, comp) in spec.neumann
+                scale = 1.0 if is_neumann else 1.0 / nv
+                if value is None:
+                    base = jnp.zeros(pts.shape[0], dtype=pts.dtype)
+                elif callable(value):
+                    base = jnp.asarray(value(pts)) * scale
+                else:
+                    base = jnp.full(pts.shape[0], float(value) * scale, dtype=pts.dtype)
+                base = base + generate_noise(
+                    nk[i % 8], pts.shape[0], opts.noise_bnd
+                )
+                i += 1
+                self.bnd_val_num[comp][edge] = base
+
+        if spec.unsteady and opts.n_ic:
+            self.ic_pts = initial_condition_points(k_ic, spec.extents, opts.n_ic)
+        else:
+            self.ic_pts = None
+
+        # fitting targets with noise (stage 6)
+        kf = jax.random.split(k_noise_f, 3)
+        iv, ip = self.idx_set["Vel"], self.idx_set["Pres"]
+        self.sol_noise = [
+            jnp.take(self.sol_norm[0], iv) + generate_noise(kf[0], len(iv), opts.noise_fit),
+            jnp.take(self.sol_norm[1], iv) + generate_noise(kf[1], len(iv), opts.noise_fit),
+            jnp.take(self.sol_norm[2], ip) + generate_noise(kf[2], len(ip), opts.noise_fit),
+        ]
+
+        # stage 8: model
+        self.model = MLP(
+            spec.dim_in, 3, width=spec.width, depth=spec.depth, seed=self.seed
+        )
+
+        # stage 7: losses
+        self.losses, self.losses_test = self._build_losses()
+
+    def _build_losses(self):
+        spec, opts = self.spec, self.opts
+        model, norm = self.model, self.norm
+        LMS = LossMeanSquares
+
+        x_pde = jnp.take(self.dom_grid, jnp.asarray(self.idx_set["PDE"]), axis=0)
+        pde_bundle = ResidualBundle(model, x_pde, unsteady=spec.unsteady)
+
+        losses = []
+        if opts.use_collloss:
+            losses += [
+                LMS("PDE_MASS", lambda: mass_residual(pde_bundle, norm),
+                    weight=spec.weight("PDE_MASS", 1e1)),
+                LMS("PDE_MOMU", lambda: momentum_residual(pde_bundle, 0, spec.physics, norm),
+                    weight=spec.weight("PDE_MOMU", 1e0)),
+                LMS("PDE_MOMV", lambda: momentum_residual(pde_bundle, 1, spec.physics, norm),
+                    weight=spec.weight("PDE_MOMV", 1e0)),
+            ]
+
+        if opts.use_boundary:
+            edge_tags = {"SX": "x0", "DX": "x1", "BOT": "y0", "TOP": "y1"}
+            comp_tags = {0: "u", 1: "v"}
+            for comp in (0, 1):
+                for edge, rhs in self.bnd_val_num[comp].items():
+                    tag = f"{comp_tags[comp]}_{edge_tags[edge]}"
+                    if (edge, comp) in spec.neumann:
+                        direction = spec.neumann[(edge, comp)]
+                        bundle = ResidualBundle(
+                            model, self.bnd_pts[edge], unsteady=spec.unsteady
+                        )
+                        losses.append(
+                            LMS(f"BCN_{tag}",
+                                (lambda b=bundle, c=comp, d=direction, r=rhs:
+                                 neumann_residual(b, c, d, spec.physics, norm, rhs=r)),
+                                weight=spec.weight("BCN", 1e0))
+                        )
+                    else:
+                        losses.append(
+                            LMS(f"BCD_{tag}",
+                                (lambda e=edge, c=comp, r=rhs:
+                                 dirichlet_residual(model, self.bnd_pts[e], c, r)),
+                                weight=spec.weight("BCD", 1e0))
+                        )
+
+        if spec.unsteady and opts.use_initialc and self.ic_pts is not None:
+            for comp, cname in ((0, "IC_u"), (1, "IC_v"), (2, "IC_p")):
+                losses.append(
+                    LMS(cname,
+                        lambda c=comp: dirichlet_residual(model, self.ic_pts, c, 0.0),
+                        weight=spec.weight("IC", 1e0))
+                )
+
+        x_vel = jnp.take(self.dom_grid, jnp.asarray(self.idx_set["Vel"]), axis=0)
+        if opts.fit_velocity:
+            losses += [
+                LMS("Fit_u", lambda: dirichlet_residual(model, x_vel, 0, self.sol_noise[0]),
+                    weight=spec.weight("FIT", 1e0)),
+                LMS("Fit_v", lambda: dirichlet_residual(model, x_vel, 1, self.sol_noise[1]),
+                    weight=spec.weight("FIT", 1e0)),
+            ]
+        x_pres = jnp.take(self.dom_grid, jnp.asarray(self.idx_set["Pres"]), axis=0)
+        if spec.pressure_gauge == "fit" and opts.fit_pressure:
+            losses.append(
+                LMS("Fit_p", lambda: dirichlet_residual(model, x_pres, 2, self.sol_noise[2]),
+                    weight=spec.weight("FIT", 1e0))
+            )
+        elif spec.pressure_gauge == "mean":
+            gauge_pts = x_pres if len(self.idx_set["Pres"]) else x_pde
+            losses.append(
+                Loss("PRESS_0", lambda: pressure_mean_penalty(model, gauge_pts),
+                     weight=spec.weight("PRESS_0", 1e-2), non_negative=True)
+            )
+
+        it = jnp.asarray(self.idx_set["Test"])
+        x_test = jnp.take(self.dom_grid, it, axis=0)
+        losses_test = [
+            LMS("u_test", lambda: dirichlet_residual(
+                model, x_test, 0, jnp.take(self.sol_norm[0], it))),
+            LMS("v_test", lambda: dirichlet_residual(
+                model, x_test, 1, jnp.take(self.sol_norm[1], it))),
+            LMS("p_test", lambda: dirichlet_residual(
+                model, x_test, 2, jnp.take(self.sol_norm[2], it))),
+        ]
+        return losses, losses_test
+
+    # ------------------------------------------------------------------ train
+    def train(self, epochs: Optional[int] = None, callbacks: bool = True):
+        epochs = self.opts.epochs if epochs is None else epochs
+        self.folder = experiment.prepare_folder(self.base_dir, self.save_results)
+        pb = OptimizationProblem(
+            self.model.variables, self.losses, self.losses_test, callbacks=[]
+        )
+        if callbacks:
+            pb.callbacks.append(
+                HistoryPlotCallback(
+                    frequency=100,
+                    gui=False,
+                    filename=os.path.join(self.folder, "Loss_Trend_Full.png"),
+                    filename_history=os.path.join(self.folder, "History_Loss.json"),
+                )
+            )
+        self.pb = pb
+        minimize(pb, "keras", Adam(learning_rate=self.adam_lr),
+                 num_epochs=self.adam_epochs)
+        if self.second_round == "scipy":
+            minimize(pb, "scipy", self.scipy_method, num_epochs=epochs)
+        elif self.second_round == "jax":
+            minimize(pb, "jax", "L-BFGS", num_epochs=epochs)
+        return pb
+
+    # ----------------------------------------------------------------- output
+    def predict_grid(self, n: int = 100):
+        """Model inference on an n×n regular spatial grid, de-normalized.
+        For unsteady cases, evaluated at the final time slice."""
+        (lx, ux), (ly, uy) = self.spec.extents
+        gx, gy = np.meshgrid(np.linspace(lx, ux, n), np.linspace(ly, uy, n))
+        cols = [gx.reshape(-1), gy.reshape(-1)]
+        if self.spec.unsteady:
+            t_final = self.spec.time_horizon - self.spec.dt
+            cols = [np.full(n * n, t_final)] + cols
+        pts = jnp.asarray(np.stack(cols, axis=-1))
+        out = np.asarray(self.model(pts))
+        u = out[:, 0].reshape(gx.shape) * self.norm.norm_vel
+        v = out[:, 1].reshape(gx.shape) * self.norm.norm_vel
+        p = out[:, 2].reshape(gx.shape) * self.norm.norm_pre
+        return gx, gy, u, v, p
+
+    def save_artifacts(self, loss_groups: Optional[Dict[str, list]] = None,
+                       exact_grids=None) -> None:
+        """Stages 10–13: checkpoint, contour figure, loss plot, recap."""
+        folder = self.folder
+        assert folder is not None, "train() first"
+        ckpt.save_experiment(folder, self.model, self.pb.history)
+
+        gx, gy, u, v, p = self.predict_grid()
+        if exact_grids is None and self.spec.exact is not None:
+            u_f, v_f, p_f = self.spec.exact
+            pts = jnp.asarray(
+                np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+            )
+            if self.spec.unsteady:
+                t_final = self.spec.time_horizon - self.spec.dt
+                pts = jnp.concatenate(
+                    [jnp.full((pts.shape[0], 1), t_final), pts], axis=1
+                )
+            exact_grids = (
+                np.asarray(u_f(pts)).reshape(gx.shape),
+                np.asarray(v_f(pts)).reshape(gx.shape),
+                np.asarray(p_f(pts)).reshape(gx.shape),
+            )
+        if exact_grids is not None:
+            viz.contour_compare(
+                gx, gy, exact_grids, (u, v, p),
+                problem_name=self.spec.name,
+                filename=os.path.join(folder, "Graphic.jpg"),
+            )
+        if loss_groups:
+            viz.plot_loss_groups(
+                self.pb.history.to_dict(), loss_groups,
+                filename=os.path.join(folder, "Loss_Trend_Reduced.png"),
+            )
+        experiment.write_recap(
+            folder, self.spec.name, self.opts.epochs, self.opts.n_pts,
+            noise_fit=self.opts.noise_fit, noise_bnd=self.opts.noise_bnd,
+            echo=False,
+        )
+
+    def final_test_losses(self) -> Dict[str, float]:
+        h = self.pb.history
+        return {name: entry["log"][-1] for name, entry in h.losses_test.items()}

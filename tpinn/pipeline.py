@@ -1,0 +1,165 @@
+"""Fused Navier–Stokes residual builders and the shared case pipeline.
+
+The reference duplicates ~13 pipeline stages across its six drivers
+(SURVEY.md §2.2).  This module factors the physics into *fused* residual
+closures built on :func:`tpinn.operators.taylor_bundle`: one Taylor-mode
+forward evaluation yields (u, v, p), their full Jacobian and the Hessian
+diagonals, serving mass + both momentum residuals + Neumann tractions at
+once.  The reference's tape walks the network ~7 times per momentum loss
+(SURVEY.md §3.3); here XLA sees a single fused graph and deduplicates across
+the per-loss closures via CSE.
+
+General momentum residual (covers every reference case):
+
+    r_k = a_t ∂t U_k + a_c (U·∇)U_k − a_v ΔU_k + a_p ∂k P
+
+with (a_t, a_c, a_v, a_p):
+  Poiseuille (0, ρ, μ, 1)   — dimensional NS (poiseuille_flow.py:194)
+  Colliding  (0, 1, 1, 1)   — Stokes + retained convection (colliding_flow.py:181)
+  Cavity st. (0, 1, 1, 1)   — ν = 1 (cavity_steady.py:183-185; the reference's
+                              ``du_xx - du_yy`` sign slip is corrected here)
+  Cavity un. (1, 1, 1, 1)   — (cavity_unsteady.py:187-196)
+  Coronary   (0, 1, ν, 1)   — kinematic ν (coronary_flow_steady.py PDE_MOM)
+
+Fields are de-normalized inside the residual (U = norm_vel·u*, P =
+norm_pre·p*) and the residual is rescaled by 1/max(norm_pre, norm_vel),
+matching the reference's spread-normalization (poiseuille_flow.py:184-197) —
+this keeps float32 TPU training at reference (float64) accuracy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpinn.geometry import Normalization
+from tpinn.models import Model
+from tpinn.operators import taylor_bundle
+
+
+@dataclasses.dataclass(frozen=True)
+class NSPhysics:
+    """Momentum-equation coefficients (see module docstring)."""
+
+    conv: float = 1.0  # a_c
+    visc: float = 1.0  # a_v
+    time: float = 0.0  # a_t (1 for unsteady)
+    pres: float = 1.0  # a_p
+
+    @property
+    def unsteady(self) -> bool:
+        return self.time != 0.0
+
+
+class ResidualBundle:
+    """Per-batch fused (value, jacobian, hessian-diag) of the (u, v, p) field.
+
+    ``spatial_cols`` maps spatial axis -> input column (``(0, 1)`` steady,
+    ``(1, 2)`` unsteady where column 0 is time, matching the reference
+    derivative-column convention, cavity_unsteady.py:188).
+    """
+
+    def __init__(self, model: Model, x, unsteady: bool = False):
+        self.model = model
+        self.x = x
+        self.unsteady = unsteady
+        self.dim_in = int(x.shape[-1])
+        self.spatial_cols = (1, 2) if unsteady else (0, 1)
+
+    def compute(self):
+        params = self.model.current_params
+        f = lambda xi: self.model.apply_single(params, xi)
+        bundle = taylor_bundle(f, self.dim_in)
+        value, jac, hdiag = jax.vmap(bundle)(self.x)
+        return value, jac, hdiag
+
+
+def mass_residual(bundle: ResidualBundle, norm: Normalization):
+    """∇·U (physical units are irrelevant: scaled by norm_vel uniformly)."""
+    _, jac, _ = bundle.compute()
+    cx, cy = bundle.spatial_cols
+    return jac[:, 0, cx] + jac[:, 1, cy]
+
+
+def momentum_residual(
+    bundle: ResidualBundle,
+    k: int,
+    physics: NSPhysics,
+    norm: Normalization,
+):
+    """r_k as in the module docstring, spread-rescaled."""
+    value, jac, hdiag = bundle.compute()
+    cx, cy = bundle.spatial_cols
+    nv, npre = norm.norm_vel, norm.norm_pre
+
+    U = nv * value[:, 0]
+    V = nv * value[:, 1]
+    dUk_dx = nv * jac[:, k, cx]
+    dUk_dy = nv * jac[:, k, cy]
+    lap_Uk = nv * (hdiag[:, k, cx] + hdiag[:, k, cy])
+    dP_dk = npre * jac[:, 2, (cx, cy)[k]]
+
+    r = (
+        physics.conv * (U * dUk_dx + V * dUk_dy)
+        - physics.visc * lap_Uk
+        + physics.pres * dP_dk
+    )
+    if physics.unsteady:
+        r = r + physics.time * nv * jac[:, k, 0]
+    return r * norm.residual_scale
+
+
+def neumann_residual(
+    bundle: ResidualBundle,
+    k: int,
+    direction,
+    physics: NSPhysics,
+    norm: Normalization,
+    rhs=0.0,
+):
+    """Traction residual on a boundary with (possibly oblique) normal.
+
+    ``direction``: an int j for an axis-aligned normal — residual
+    μ ∂U_k/∂x_j − P δ_kj − rhs (reference poiseuille_flow.py:199-209) — or a
+    length-2 vector n for the projected form ν (∇U_k·n) − P n_k − rhs
+    (reference coronary_flow_steady.py:213-227; n is used unnormalized there,
+    and we keep that contract).
+    """
+    value, jac, _ = bundle.compute()
+    cx, cy = bundle.spatial_cols
+    nv, npre = norm.norm_vel, norm.norm_pre
+    P = npre * value[:, 2]
+    gx = nv * jac[:, k, cx]
+    gy = nv * jac[:, k, cy]
+    if isinstance(direction, int):
+        grad_n = (gx, gy)[direction]
+        p_term = P * (1.0 if direction == k else 0.0)
+    else:
+        n = jnp.asarray(direction)
+        grad_n = gx * n[0] + gy * n[1]
+        p_term = P * n[k]
+    return (physics.visc * grad_n - p_term - rhs) * norm.residual_scale
+
+
+def dirichlet_residual(model: Model, points, component: int, rhs):
+    """u_k(points) − rhs in normalized space (reference dir_loss,
+    poiseuille_flow.py:214-216).  Shared by BC / fit / test losses."""
+    out = model(points)
+    val = out.value if hasattr(out, "value") else out
+    return val[:, component] - rhs
+
+
+def initial_condition_residual(model: Model, points, component: int, rhs=0.0):
+    """t = 0 condition (reference IN_C, cavity_unsteady.py:208)."""
+    return dirichlet_residual(model, points, component, rhs)
+
+
+def pressure_mean_penalty(model: Model, points):
+    """|mean p| pressure-gauge penalty (reference PRESS_0,
+    colliding_flow_pressmean.py:177-180; used with ns.Loss non_negative)."""
+    out = model(points)
+    val = out.value if hasattr(out, "value") else out
+    return jnp.abs(jnp.mean(val[:, 2]))
