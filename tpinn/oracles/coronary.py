@@ -1,0 +1,129 @@
+"""Coronary stenosis flow oracle: steady NS on the gmsh mesh.
+
+Reference L0 stage: DataGeneration/coronary.py (FEniCS Newton NS on the
+meshio-converted coroParam mesh, writes bpoints.npy and the FEM h5 the driver
+reads).  Here the same mesh (Examples/Coronary_Flow/coroParam.msh) is solved
+with the tpinn.oracles.fem P1-stabilized solver and written in the identical
+h5 layout (VisualisationVector + Mesh geometry).
+
+Physical parameters from the reference driver
+(coronary_flow_steady.py:60-75): μ=1e-2, ρ=1.06e3, ν=1e4·μ/ρ, rotated
+parabolic inflow with U=20 across the inlet width H=√(0.4²+0.1²).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from tpinn.oracles import fem, io
+from tpinn.oracles.mesh import read_gmsh
+
+
+@dataclasses.dataclass(frozen=True)
+class CoronaryParams:
+    mu: float = 1e-2
+    rho: float = 1.06e3
+    U: float = 20.0
+    x0: float = -1.4
+    y0: float = -0.8
+
+    @property
+    def ni(self) -> float:
+        return 1e4 * self.mu / self.rho
+
+    @property
+    def H(self) -> float:
+        return float(np.sqrt(0.4**2 + 0.1**2))
+
+    @property
+    def cos_theta(self) -> float:
+        return float(np.cos(np.arctan(1 / 4)))
+
+    @property
+    def sin_theta(self) -> float:
+        return float(np.sin(np.arctan(1 / 4)))
+
+
+def inflow_profile(x, prm: CoronaryParams = CoronaryParams()):
+    """Rotated parabolic inflow (reference coronary_flow_steady.py:72-75)."""
+    x = np.asarray(x)
+    s = np.sqrt((x[:, 0] - prm.x0) ** 2 + (x[:, 1] - prm.y0) ** 2) / prm.H
+    mag = prm.U * s * (1.0 - s)
+    return prm.cos_theta * mag, prm.sin_theta * mag
+
+
+def match_boundary_nodes(
+    nodes: np.ndarray, bpoints: Dict[str, np.ndarray], tol: float = 1e-8
+) -> Dict[str, np.ndarray]:
+    """Map labeled bpoints.npy coordinates to mesh node indices."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(nodes[:, :2])
+    out = {}
+    for name, pts in bpoints.items():
+        dist, idx = tree.query(pts)
+        out[name] = np.unique(idx[dist < max(tol, 1e-6)])
+        if len(out[name]) == 0 and len(pts):
+            out[name] = np.unique(idx)
+    return out
+
+
+def solve_coronary(
+    msh_path: str,
+    bpoints_path: str,
+    prm: CoronaryParams = CoronaryParams(),
+    picard_iters: int = 30,
+    verbose: bool = False,
+):
+    """Solve steady NS on the coronary mesh; returns (nodes2d, u, v, p)."""
+    mesh = read_gmsh(msh_path)
+    nodes = mesh.nodes[:, :2]
+    bflags = io.load_bpoints(bpoints_path)
+    bidx = match_boundary_nodes(nodes, bflags)
+
+    dirichlet: Dict[int, Tuple[float, float]] = {}
+    for i in bidx["NOSL"]:
+        dirichlet[int(i)] = (0.0, 0.0)
+    inf_nodes = bidx["INF"]
+    u_in, v_in = inflow_profile(nodes[inf_nodes], prm)
+    for i, uu, vv in zip(inf_nodes, u_in, v_in):
+        dirichlet[int(i)] = (float(uu), float(vv))
+    # OUT1/OUT2 remain natural (do-nothing) — traction-free outflow, the
+    # condition the driver's Neumann losses encode (weights 1e-3, :245-255).
+
+    u, v, p = fem.solve_navier_stokes(
+        nodes,
+        mesh.triangles,
+        nu=prm.ni,
+        dirichlet=dirichlet,
+        picard_iters=picard_iters,
+        verbose=verbose,
+    )
+    return nodes, u, v, p
+
+
+def generate_coronary(
+    out_dir: str,
+    msh_path: str,
+    bpoints_path: str,
+    prm: CoronaryParams = CoronaryParams(),
+    verbose: bool = False,
+) -> str:
+    """Write steady_coronary_steady.h5 (+ a copy of bpoints.npy) in the
+    reference layout (coronary_flow_steady.py:90-119,141)."""
+    folder = os.path.join(out_dir, "SteadyCase")
+    h5_path = os.path.join(folder, "steady_coronary_steady.h5")
+    bp_out = os.path.join(folder, "bpoints.npy")
+    if os.path.exists(h5_path) and os.path.exists(bp_out):
+        return folder
+    nodes, u, v, p = solve_coronary(
+        msh_path, bpoints_path, prm, verbose=verbose
+    )
+    io.write_fields_h5(h5_path, u, v, p, geometry=nodes)
+    os.makedirs(folder, exist_ok=True)
+    np.save(bp_out, np.load(bpoints_path))
+    return folder

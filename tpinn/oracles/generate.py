@@ -1,0 +1,106 @@
+"""Data generation entry point — the offline L0 stage, JAX-native.
+
+Replaces DataGeneration/fluid_solver_{steady,unsteady}.py (FEniCS-in-Docker,
+SURVEY.md §3.4) with the tpinn.oracles.cavity solver, writing the exact file
+layout the drivers ingest.  Files are produced once and cached; run on TPU
+for speed or CPU for reproducibility.
+
+    python -m tpinn.oracles.generate --case steady --out data
+    python -m tpinn.oracles.generate --case unsteady --out data
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from tpinn.oracles import cavity, io
+
+
+def generate_cavity_steady(
+    out_dir: str,
+    U: float = 500.0,
+    nu: float = 1.0,
+    n_solver: int = 192,
+    n_out: int = 100,
+    t_end: float = 50.0,
+) -> str:
+    """Steady cavity at Re = U/ν; writes the reference steady-case files.
+
+    Solves on an ``n_solver`` grid and interpolates to the (n_out+1)² vertex
+    grid the drivers use (reference mesh: 100×100 RectangleMesh →
+    101² vertices, fluid_solver_steady.py:12-13,28).
+    """
+    folder = os.path.join(out_dir, "SteadyCase")
+    h5_path = os.path.join(folder, "navier-stokes_cavity_steady.h5")
+    csv_path = os.path.join(folder, "navier-stokes_cavity_steady_r.csv")
+    if os.path.exists(h5_path) and os.path.exists(csv_path):
+        return folder
+
+    re = U * 1.0 / nu
+    u, v, p = cavity.solve_cavity_steady(re=re, n=n_solver, t_end=t_end)
+    # dimensional fields: u_phys = U u*, p_phys = ρ U² p* (ρ = 1)
+    u, v, p = U * u, U * v, U * U * p
+
+    xq, yq = cavity.vertex_grid(n_out)
+    u_o = cavity.interpolate_vertex_field(u, n_solver, xq, yq)
+    v_o = cavity.interpolate_vertex_field(v, n_solver, xq, yq)
+    p_o = cavity.interpolate_vertex_field(p, n_solver, xq, yq)
+    io.write_fields_h5(h5_path, u_o, v_o, p_o,
+                       geometry=np.stack([xq, yq], axis=-1))
+
+    # 100×100 regular-grid csv (fluid_solver_steady.py:122-137)
+    xs = np.linspace(0, 1, 100)
+    ys = np.linspace(0, 1, 100)
+    xg = np.array([x for y in ys for x in xs])
+    yg = np.array([y for y in ys for x in xs])
+    io.write_regular_csv(
+        csv_path,
+        xg,
+        yg,
+        cavity.interpolate_vertex_field(u, n_solver, xg, yg),
+        cavity.interpolate_vertex_field(v, n_solver, xg, yg),
+        cavity.interpolate_vertex_field(p, n_solver, xg, yg),
+    )
+    return folder
+
+
+def generate_cavity_unsteady(
+    out_dir: str,
+    U: float = 1.0,
+    nu: float = 1.0,
+    T: float = 1e-2,
+    dt: float = 1e-4,
+    n: int = 100,
+) -> str:
+    """Unsteady cavity per-timestep h5 series (fluid_solver_unsteady.py)."""
+    folder = os.path.join(out_dir, "UnsteadyCase")
+    n_times = int(round(T / dt))
+    last = io.unsteady_h5_path(folder, n_times - 1)
+    if os.path.exists(last):
+        return folder
+    times, snaps = cavity.solve_cavity_unsteady(
+        nu=nu, lid_velocity=U, t_end=T, dt_out=dt, n=n
+    )
+    io.write_unsteady_series_h5(folder, snaps)
+    return folder
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", choices=["steady", "unsteady", "all"], default="all")
+    ap.add_argument("--out", default="data")
+    ap.add_argument("--n-solver", type=int, default=192)
+    args = ap.parse_args(argv)
+    if args.case in ("steady", "all"):
+        print("generating steady cavity data ...")
+        print(" ->", generate_cavity_steady(args.out, n_solver=args.n_solver))
+    if args.case in ("unsteady", "all"):
+        print("generating unsteady cavity data ...")
+        print(" ->", generate_cavity_unsteady(args.out))
+
+
+if __name__ == "__main__":
+    main()
