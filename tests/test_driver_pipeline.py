@@ -1,0 +1,140 @@
+"""StandardNSDriver + pipeline residual tests.
+
+The momentum/mass residual builders must vanish on exact solutions: the
+colliding-flow polynomial satisfies steady NS (with its own forcing — here
+checked on Stokes terms), and the Poiseuille profile satisfies dimensional
+NS exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpinn.config import SimulationOptions
+from tpinn.driver import CaseSpec, StandardNSDriver
+from tpinn.geometry import Normalization
+from tpinn.models import Model
+from tpinn.oracles import analytic
+from tpinn.pipeline import (
+    NSPhysics,
+    ResidualBundle,
+    mass_residual,
+    momentum_residual,
+    neumann_residual,
+)
+
+
+class ExactPoiseuille(Model):
+    """Model whose forward returns the normalized exact Poiseuille fields."""
+
+    def __init__(self, norm):
+        self.norm = norm
+        super().__init__([2, 3])
+
+    def apply_single(self, params, xi):
+        x = xi[None, :]
+        prm = analytic.PoiseuilleParams()
+        return jnp.stack(
+            [
+                analytic.poiseuille_u(x, prm)[0] / self.norm.norm_vel,
+                analytic.poiseuille_v(x, prm)[0] / self.norm.norm_vel,
+                analytic.poiseuille_p(x, prm)[0] / self.norm.norm_pre,
+            ]
+        )
+
+    def apply(self, params, x):
+        return jax.vmap(lambda xi: self.apply_single(params, xi))(x)
+
+
+@pytest.fixture(scope="module")
+def poiseuille_exact_setup():
+    prm = analytic.PoiseuilleParams()
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(0), (64, 2), dtype=jnp.float64
+    ) * jnp.array([1.0, 0.1])
+    u = analytic.poiseuille_u(pts, prm)
+    v = analytic.poiseuille_v(pts, prm)
+    p = analytic.poiseuille_p(pts, prm)
+    norm = Normalization(u, v, p)
+    model = ExactPoiseuille(norm)
+    return model, pts, norm, prm
+
+
+def test_momentum_residual_vanishes_on_exact_poiseuille(poiseuille_exact_setup):
+    model, pts, norm, prm = poiseuille_exact_setup
+    physics = NSPhysics(conv=prm.rho, visc=prm.mu)
+    bundle = ResidualBundle(model, pts)
+    ru = momentum_residual(bundle, 0, physics, norm)
+    rv = momentum_residual(bundle, 1, physics, norm)
+    rm = mass_residual(bundle, norm)
+    np.testing.assert_allclose(np.asarray(rm), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ru), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rv), 0.0, atol=1e-7)
+
+
+def test_neumann_residual_on_exact_poiseuille(poiseuille_exact_setup):
+    """At the outlet x=1: μ∂u/∂x − p = 0 − P_end = 0 exactly."""
+    model, _, norm, prm = poiseuille_exact_setup
+    key = jax.random.PRNGKey(1)
+    ys = jax.random.uniform(key, (16,), dtype=jnp.float64) * 0.1
+    pts = jnp.stack([jnp.ones_like(ys), ys], axis=-1)
+    physics = NSPhysics(conv=prm.rho, visc=prm.mu)
+    bundle = ResidualBundle(model, pts)
+    r = neumann_residual(bundle, 0, 0, physics, norm, rhs=prm.p_out)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-7)
+    # v-component: μ∂v/∂x − 0 = 0
+    r2 = neumann_residual(bundle, 1, 0, physics, norm, rhs=0.0)
+    np.testing.assert_allclose(np.asarray(r2), 0.0, atol=1e-9)
+
+
+def test_driver_end_to_end_tiny():
+    """Full StandardNSDriver pipeline on a coarse Poiseuille config."""
+    prm = analytic.PoiseuilleParams()
+    spec = CaseSpec(
+        name="Poiseuille_Tiny",
+        extents=[(0.0, 1.0), (0.0, 0.1)],
+        grid_shape=(20, 10),
+        physics=NSPhysics(conv=prm.rho, visc=prm.mu),
+        exact=(
+            lambda x: analytic.poiseuille_u(x, prm),
+            lambda x: analytic.poiseuille_v(x, prm),
+            lambda x: analytic.poiseuille_p(x, prm),
+        ),
+        bnd_val={
+            0: {"BOT": 0.0, "TOP": 0.0,
+                "SX": lambda x: analytic.poiseuille_u(x, prm),
+                "DX": prm.p_out},
+            1: {"BOT": 0.0, "TOP": 0.0, "SX": 0.0, "DX": 0.0},
+        },
+        neumann={("DX", 0): 0, ("DX", 1): 0},
+        weights={"PDE_MASS": 1e1},
+    )
+    opts = SimulationOptions(
+        epochs=60, n_pde=50, n_bc=16, n_vel=5, n_pres=0, n_test=40
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        driver = StandardNSDriver(
+            spec, opts, base_dir=td, save_results=True, seed=0,
+            second_round="scipy", adam_epochs=30,
+        )
+        pb = driver.train(callbacks=False)
+        assert pb.history.loss_global[-1] < pb.history.loss_global[0]
+        driver.save_artifacts(
+            loss_groups={"Test_Loss": ["u_test", "v_test", "p_test"]}
+        )
+        import os
+
+        folder = driver.folder
+        for artifact in (
+            "Model.json", "Weights.h5", "History_Loss.json",
+            "Graphic.jpg", "Loss_Trend_Reduced.png", "Test_Options.txt",
+            "checkpoint.pkl",
+        ):
+            assert os.path.exists(os.path.join(folder, artifact)), artifact
+        # experiment folder auto-numbering
+        assert os.path.basename(folder) == "Test_Case_#001"
+        losses = driver.final_test_losses()
+        assert set(losses) == {"u_test", "v_test", "p_test"}

@@ -1,0 +1,168 @@
+"""Oracle tests: cavity FD solver vs Ghia benchmark, FEM solver sanity,
+gmsh reader, io round-trips."""
+
+import numpy as np
+import pytest
+
+from tpinn.oracles import cavity, io
+
+
+# Ghia, Ghia & Shin (1982), Re=100: u along the vertical centerline x=0.5
+GHIA_RE100_Y = np.array(
+    [0.0, 0.0547, 0.0625, 0.0703, 0.1016, 0.1719, 0.2813, 0.4531, 0.5,
+     0.6172, 0.7344, 0.8516, 0.9531, 0.9609, 0.9688, 0.9766, 1.0]
+)
+GHIA_RE100_U = np.array(
+    [0.0, -0.03717, -0.04192, -0.04775, -0.06434, -0.10150, -0.15662,
+     -0.21090, -0.20581, -0.13641, 0.00332, 0.23151, 0.68717, 0.73722,
+     0.78871, 0.84123, 1.0]
+)
+
+
+@pytest.mark.slow
+def test_cavity_steady_vs_ghia_re100():
+    n = 64
+    u, v, p = cavity.solve_cavity_steady(re=100.0, n=n, t_end=15.0)
+    uu = u.reshape(n + 1, n + 1)
+    ys = np.linspace(0, 1, n + 1)
+    u_center = uu[:, n // 2]
+    ui = np.interp(GHIA_RE100_Y, ys, u_center)
+    assert np.max(np.abs(ui - GHIA_RE100_U)) < 0.02
+
+
+def test_cavity_unsteady_short_run():
+    times, snaps = cavity.solve_cavity_unsteady(
+        nu=1.0, lid_velocity=1.0, t_end=5e-4, dt_out=1e-4, n=32
+    )
+    assert len(snaps) == 5
+    # t=0 snapshot is the zero field (reference writes w=0 at step 0)
+    u0, v0, p0 = snaps[0]
+    assert np.allclose(u0, 0.0) and np.allclose(v0, 0.0)
+    # later snapshots develop lid-driven flow near the top
+    u_last = snaps[-1][0].reshape(33, 33)
+    assert u_last[-1].max() == pytest.approx(1.0)  # lid row
+    assert np.abs(u_last[-5]).max() > 1e-4  # momentum diffused downward
+    # divergence-free-ish interior
+    assert np.isfinite(snaps[-1][2]).all()
+
+
+def test_vertex_grid_ordering():
+    x, y = cavity.vertex_grid(2)
+    # x fastest (reference dom_grid order)
+    np.testing.assert_allclose(x[:3], [0.0, 0.5, 1.0])
+    np.testing.assert_allclose(y[:3], [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(y[-1], 1.0)
+
+
+def test_interpolate_vertex_field_exact_on_nodes():
+    n = 4
+    x, y = cavity.vertex_grid(n)
+    f = 2.0 * x + 3.0 * y
+    out = cavity.interpolate_vertex_field(f, n, x, y)
+    np.testing.assert_allclose(out, f, atol=1e-12)
+
+
+def test_h5_roundtrip(tmp_path):
+    u = np.random.default_rng(0).normal(size=11)
+    v = np.random.default_rng(1).normal(size=11)
+    p = np.random.default_rng(2).normal(size=11)
+    geo = np.random.default_rng(3).normal(size=(11, 2))
+    path = tmp_path / "fields.h5"
+    io.write_fields_h5(path, u, v, p, geometry=geo)
+    u2, v2, p2 = io.read_fields_h5(path)
+    np.testing.assert_array_equal(u, u2)
+    np.testing.assert_array_equal(p, p2)
+    np.testing.assert_array_equal(io.read_mesh_geometry_h5(path), geo)
+
+
+def test_unsteady_series_roundtrip(tmp_path):
+    snaps = [
+        (np.full(5, i), np.full(5, -i), np.arange(5.0) + i) for i in range(3)
+    ]
+    io.write_unsteady_series_h5(tmp_path, snaps)
+    u, v, p = io.read_unsteady_series_h5(tmp_path, 3)
+    assert u.shape == (15,)
+    np.testing.assert_array_equal(u[5:10], 1.0)
+    # per-step pressure recentering (reference pres_h5 lambda)
+    assert abs(p[:5].mean()) < 1e-12
+
+
+def test_regular_csv_roundtrip(tmp_path):
+    path = tmp_path / "grid_r.csv"
+    io.write_regular_csv(path, [0, 1], [2, 3], [4, 5], [6, 7], [8, 9])
+    data = io.read_regular_csv(path)
+    assert list(data.keys()) == ["x", "y", "ux", "uy", "p"]
+    np.testing.assert_array_equal(data["p"], [8, 9])
+
+
+def test_bpoints_loader(tmp_path):
+    arr = np.zeros((10, 4))
+    arr[:, 0] = np.arange(10)
+    arr[5:, 3] = 1  # INF flag
+    path = tmp_path / "bpoints.npy"
+    np.save(path, arr)
+    bp = io.load_bpoints(path)
+    assert bp["NOSL"].shape == (5, 2)
+    assert bp["INF"].shape == (5, 2)
+    assert bp["OUT1"].shape == (0, 2)
+
+
+def test_fem_poiseuille_channel():
+    """P1 solver sanity: pressure-driven Stokes channel flow on a structured
+    triangulated rectangle reproduces the parabolic profile."""
+    from tpinn.oracles import fem
+
+    nx, ny = 24, 12
+    xs = np.linspace(0, 2, nx + 1)
+    ys = np.linspace(0, 1, ny + 1)
+    xx, yy = np.meshgrid(xs, ys)
+    nodes = np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+
+    def vid(i, j):
+        return j * (nx + 1) + i
+
+    tris = []
+    for j in range(ny):
+        for i in range(nx):
+            tris.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)])
+            tris.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    tris = np.asarray(tris)
+
+    u_profile = lambda y: 4.0 * y * (1.0 - y)  # peak 1 at centerline
+    dirichlet = {}
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            x, y = nodes[vid(i, j)]
+            if y < 1e-12 or y > 1 - 1e-12:
+                dirichlet[vid(i, j)] = (0.0, 0.0)
+            elif x < 1e-12:
+                dirichlet[vid(i, j)] = (u_profile(y), 0.0)
+            # outflow x=2: do-nothing
+
+    u, v, p = fem.solve_navier_stokes(
+        nodes, tris, nu=1.0, dirichlet=dirichlet, picard_iters=4
+    )
+    # mid-channel profile matches the inflow parabola
+    mid = [vid(nx // 2, j) for j in range(ny + 1)]
+    expect = u_profile(nodes[mid][:, 1])
+    assert np.max(np.abs(u[mid] - expect)) < 0.05
+    assert np.max(np.abs(v)) < 0.05
+    # pressure decreases downstream
+    assert p[vid(2, ny // 2)] > p[vid(nx - 2, ny // 2)]
+
+
+def test_gmsh_reader_reference_mesh():
+    import os
+
+    path = "/root/reference/Examples/Coronary_Flow/coroParam.msh"
+    if not os.path.exists(path):
+        pytest.skip("reference mesh not available")
+    from tpinn.oracles.mesh import read_gmsh
+
+    mesh = read_gmsh(path)
+    assert mesh.nodes.shape[0] == 10833
+    assert mesh.triangles.shape[0] > 20000
+    assert mesh.triangles.max() < mesh.nodes.shape[0]
+    # domain bounding box from the .geo design
+    assert -1.6 < mesh.nodes[:, 0].min() < -1.4
+    assert 1.9 < mesh.nodes[:, 0].max() < 2.1

@@ -175,12 +175,13 @@ def solve_navier_stokes(
     for it in range(picard_iters):
         N = _assemble_convection(nodes, tris, area, grads, u, v)
         A = nu * K + N
-        # global saddle system [[A,0,Bx^T],[0,A,By^T],[Bx,By,-C]]
+        # weak form: a(u,v) − (p, ∇·v) = 0 ; (∇·u, q) + α h²(∇p, ∇q) = 0
+        # momentum pressure block: −(p, ∂φ_i/∂x_d) = −B(d)^T
         sys = sp.bmat(
             [
-                [A, None, Bx.T],
-                [None, A, By.T],
-                [Bx, By, -C],
+                [A, None, -Bx.T],
+                [None, A, -By.T],
+                [Bx, By, C],
             ],
             format="lil",
         )

@@ -1,0 +1,180 @@
+"""Fused MLP Taylor-bundle Pallas kernel.
+
+Computes, for every collocation point, the MLP outputs plus all first input
+derivatives and the Hessian diagonals — the full bundle a Navier–Stokes
+residual needs — in ONE kernel pass.
+
+Layout (TPU-first): features live on sublanes, points on lanes.  The five
+Taylor streams per direction pair —
+
+    v   : value
+    g_k : ∂/∂x_k        (k = 0..d-1)
+    h_k : ∂²/∂x_k²
+
+— are stacked along the LANE axis, so each dense layer is a single
+(out, in) @ (in, S·Np) matmul on the MXU (S = 1 + 2d streams).  The tanh
+coupling uses lane slices at Np-multiples (Np is a multiple of 128):
+
+    z streams:  v' = tanh(z_v);  g' = (1 − v'²) g_z;
+    h' = −2 v' (1 − v'²) g_z² + (1 − v'²) h_z
+
+Biases are added to the value stream only.  Derivation: standard truncated
+Taylor (jet) propagation; identical math to tpinn.operators.taylor_bundle,
+which serves as the cross-checked XLA fallback (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pallas_available() -> bool:
+    try:
+        import jax.experimental.pallas as pl  # noqa: F401
+
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _kernel(x_ref, *refs, dim: int, widths: Sequence[int], np_tile: int):
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    n_layers = len(widths) - 1
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers : 2 * n_layers]
+    out_refs = refs[2 * n_layers :]
+    v_out, jac_out, hdiag_out = out_refs
+
+    S = 1 + 2 * dim
+    NP = np_tile
+
+    # Build the stacked input streams (d_in, S*NP):
+    # [ v | g_0 .. g_{d-1} | h_0 .. h_{d-1} ]
+    x = x_ref[...]  # (NP, d_in)
+    xt = x.T  # (d_in, NP)
+    d_in = widths[0]
+    eye = jnp.eye(d_in, dtype=x.dtype)
+    streams = [xt]
+    for k in range(dim):
+        g = jnp.broadcast_to(eye[:, k : k + 1], (d_in, NP))
+        streams.append(g)
+    for _ in range(dim):
+        streams.append(jnp.zeros((d_in, NP), dtype=x.dtype))
+    s = jnp.concatenate(streams, axis=1)  # (d_in, S*NP)
+
+    for li in range(n_layers):
+        w = w_refs[li][...]  # (in, out)
+        b = b_refs[li][...]  # (1, out)
+        z = jax.lax.dot_general(
+            w, s, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (out, S*NP)
+        # bias on the value stream only
+        zv = z[:, :NP] + b.T
+        if li < n_layers - 1:
+            v = jnp.tanh(zv)
+            tp = 1.0 - v * v  # tanh'
+            new = [v]
+            for k in range(dim):
+                gz = z[:, (1 + k) * NP : (2 + k) * NP]
+                new.append(tp * gz)
+            for k in range(dim):
+                gz = z[:, (1 + k) * NP : (2 + k) * NP]
+                hz = z[:, (1 + dim + k) * NP : (2 + dim + k) * NP]
+                new.append(-2.0 * v * tp * gz * gz + tp * hz)
+            s = jnp.concatenate(new, axis=1)
+        else:
+            s = jnp.concatenate([zv, z[:, NP:]], axis=1)
+
+    d_out = widths[-1]
+    v_out[...] = s[:, :NP].T  # (NP, d_out)
+    jac = [s[:, (1 + k) * NP : (2 + k) * NP] for k in range(dim)]
+    hdg = [s[:, (1 + dim + k) * NP : (2 + dim + k) * NP] for k in range(dim)]
+    # (NP, d_out, dim)
+    jac_out[...] = jnp.stack(jac, axis=-1).transpose(1, 0, 2)
+    hdiag_out[...] = jnp.stack(hdg, axis=-1).transpose(1, 0, 2)
+
+
+def mlp_taylor_bundle(
+    params: List[dict],
+    x,
+    dim: int | None = None,
+    np_tile: int = 512,
+    interpret: bool = False,
+):
+    """Fused (value, jac, hdiag) of an MLP parameter list over batch x.
+
+    params: list of {"kernel": (in, out), "bias": (out,)} (tpinn.models.MLP).
+    x: (N, d_in).  Returns (value (N, d_out), jac (N, d_out, dim),
+    hdiag (N, d_out, dim)).  N is padded internally to a tile multiple.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(x)
+    n, d_in = x.shape
+    if dim is None:
+        dim = d_in
+    widths = [int(p["kernel"].shape[0]) for p in params] + [
+        int(params[-1]["kernel"].shape[1])
+    ]
+    d_out = widths[-1]
+    dtype = x.dtype
+
+    n_pad = -(-n // np_tile) * np_tile
+    if n_pad != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_pad - n, d_in), dtype=dtype)], axis=0
+        )
+
+    n_layers = len(params)
+    w_args = [jnp.asarray(p["kernel"], dtype=dtype) for p in params]
+    b_args = [jnp.asarray(p["bias"], dtype=dtype)[None, :] for p in params]
+
+    kernel = functools.partial(
+        _kernel, dim=dim, widths=widths, np_tile=np_tile
+    )
+
+    grid = (n_pad // np_tile,)
+    in_specs = [
+        pl.BlockSpec((np_tile, d_in), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    for w in w_args:
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    for b in b_args:
+        in_specs.append(
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, d_out), dtype),
+        jax.ShapeDtypeStruct((n_pad, d_out, dim), dtype),
+        jax.ShapeDtypeStruct((n_pad, d_out, dim), dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((np_tile, d_out), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((np_tile, d_out, dim), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((np_tile, d_out, dim), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    value, jac, hdiag = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x, *w_args, *b_args)
+    return value[:n], jac[:n], hdiag[:n]
