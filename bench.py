@@ -67,10 +67,11 @@ def bench_tpinn(n_points: int, iters: int, dtype_name: str = "float32"):
     out = fn(params, x)
     jax.block_until_ready(out)
 
+    # synchronize every iteration: dispatch latency is counted, so the
+    # number is an honest end-to-end throughput, not a pipelined upper bound
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(params, x)
-    jax.block_until_ready(out)
+        out = jax.block_until_ready(fn(params, x))
     dt = time.perf_counter() - t0
     return n_points * iters / dt, float(out)
 

@@ -38,6 +38,7 @@ class MACState(NamedTuple):
     u: jnp.ndarray  # (N+1, N)   x-velocity on vertical faces
     v: jnp.ndarray  # (N, N+1)   y-velocity on horizontal faces
     p: jnp.ndarray  # (N, N)     pressure at cell centers
+    phi: jnp.ndarray  # (N, N)   previous projection potential (CG warm start)
 
 
 def _laplacian_u(u, lid, h):
@@ -131,11 +132,11 @@ def _poisson_neumann_op(phi, h):
     ) / h**2
 
 
-def _solve_pressure(rhs, h, tol=1e-8, maxiter=600):
+def _solve_pressure(rhs, h, x0=None, tol=1e-8, maxiter=600):
     rhs = rhs - jnp.mean(rhs)  # compatibility with the Neumann nullspace
     op = lambda q: _poisson_neumann_op(q, h)
     phi, _ = jax.scipy.sparse.linalg.cg(
-        op, rhs, tol=tol, maxiter=maxiter
+        op, rhs, x0=x0, tol=tol, maxiter=maxiter
     )
     return phi - jnp.mean(phi)
 
@@ -149,7 +150,7 @@ def _project(u, v, phi, h, dt):
 
 
 def _step(state: MACState, *, re, lid, h, dt, upwind) -> MACState:
-    u, v, p = state
+    u, v, p, phi_prev = state
     adv_u = _advect_u(u, v, lid, h, upwind)
     adv_v = _advect_v(u, v, h, upwind)
     lap_u = _laplacian_u(u, lid, h)[1:-1, :]
@@ -160,16 +161,16 @@ def _step(state: MACState, *, re, lid, h, dt, upwind) -> MACState:
     u_star = u_star.at[0, :].set(0.0).at[-1, :].set(0.0)
     v_star = v_star.at[:, 0].set(0.0).at[:, -1].set(0.0)
     rhs = _divergence(u_star, v_star, h) / dt
-    phi = _solve_pressure(rhs, h)
+    phi = _solve_pressure(rhs, h, x0=phi_prev)
     u_new, v_new = _project(u_star, v_star, phi, h, dt)
     p_new = p + phi
-    return MACState(u_new, v_new, p_new)
+    return MACState(u_new, v_new, p_new, phi)
 
 
 def _vertex_fields(state: MACState, lid, h) -> Tuple[jnp.ndarray, ...]:
     """Interpolate MAC fields to the (N+1)x(N+1) vertex grid (x fastest,
     matching the reference's dom_grid/VisualisationVector ordering)."""
-    u, v, p = state
+    u, v, p = state.u, state.v, state.p
     N = p.shape[0]
     # u at vertices: average vertically-adjacent u-face values; walls override
     u_vert_inner = 0.5 * (u[:, 1:] + u[:, :-1])  # (N+1, N-1)
@@ -238,6 +239,7 @@ def solve_cavity_steady(
         jnp.zeros((n + 1, n), dtype=dtype),
         jnp.zeros((n, n + 1), dtype=dtype),
         jnp.zeros((n, n), dtype=dtype),
+        jnp.zeros((n, n), dtype=dtype),
     )
     inner = 50
     steps = int(t_end / dt / inner) + 1
@@ -283,6 +285,7 @@ def solve_cavity_unsteady(
     state = MACState(
         jnp.zeros((n + 1, n), dtype=dtype),
         jnp.zeros((n, n + 1), dtype=dtype),
+        jnp.zeros((n, n), dtype=dtype),
         jnp.zeros((n, n), dtype=dtype),
     )
     n_out = int(round(t_end / dt_out))

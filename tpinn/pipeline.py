@@ -62,15 +62,33 @@ class ResidualBundle:
     derivative-column convention, cavity_unsteady.py:188).
     """
 
-    def __init__(self, model: Model, x, unsteady: bool = False):
+    def __init__(self, model: Model, x, unsteady: bool = False,
+                 use_pallas: Optional[bool] = None):
         self.model = model
         self.x = x
         self.unsteady = unsteady
         self.dim_in = int(x.shape[-1])
         self.spatial_cols = (1, 2) if unsteady else (0, 1)
+        if use_pallas is None:
+            # auto: TPU backend + a plain MLP (custom apply_single overrides
+            # fall back to the jet path)
+            try:
+                from tpinn.pallas import pallas_available
+
+                use_pallas = (
+                    pallas_available()
+                    and type(model).apply_single is Model.apply_single
+                )
+            except Exception:
+                use_pallas = False
+        self.use_pallas = use_pallas
 
     def compute(self):
         params = self.model.current_params
+        if self.use_pallas:
+            from tpinn.pallas import mlp_taylor_bundle
+
+            return mlp_taylor_bundle(params, self.x, dim=self.dim_in)
         f = lambda xi: self.model.apply_single(params, xi)
         bundle = taylor_bundle(f, self.dim_in)
         value, jac, hdiag = jax.vmap(bundle)(self.x)
