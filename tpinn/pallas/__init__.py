@@ -7,6 +7,6 @@ Taylor-mode propagation laid out for the MXU/VPU; falls back transparently
 to the jet-based XLA path on other backends.
 """
 
-from tpinn.pallas.mlp_bundle import mlp_taylor_bundle, pallas_available
+from tpinn.pallas.mlp_bundle import mlp_taylor_bundle, ns_residual_mse, pallas_available
 
-__all__ = ["mlp_taylor_bundle", "pallas_available"]
+__all__ = ["mlp_taylor_bundle", "ns_residual_mse", "pallas_available"]

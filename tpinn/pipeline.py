@@ -70,16 +70,18 @@ class ResidualBundle:
         self.dim_in = int(x.shape[-1])
         self.spatial_cols = (1, 2) if unsteady else (0, 1)
         if use_pallas is None:
-            # auto: TPU backend + a plain MLP (custom apply_single overrides
-            # fall back to the jet path)
-            try:
-                from tpinn.pallas import pallas_available
+            import os
 
-                use_pallas = (
-                    pallas_available()
-                    and type(model).apply_single is Model.apply_single
-                )
-            except Exception:
+            env = os.environ.get("TPINN_USE_PALLAS")
+            if env is not None:
+                use_pallas = env not in ("0", "false", "False")
+            else:
+                # auto: TPU backend + a plain MLP (custom apply_single
+                # overrides fall back to the jet path).  Default off: XLA
+                # fuses the downstream reduction into the bundle, which
+                # usually beats paying the kernel-boundary materialization;
+                # the Pallas kernel wins on compile time and on large
+                # bundle-output workloads (set TPINN_USE_PALLAS=1).
                 use_pallas = False
         self.use_pallas = use_pallas
 
