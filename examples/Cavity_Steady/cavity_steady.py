@@ -69,7 +69,7 @@ def default_options() -> SimulationOptions:
 
 
 def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
-         seed=0, n_solver=128):
+         seed=0, n_solver=128, load_from=None):
     cwd = base_dir or os.path.dirname(os.path.abspath(__file__))
     opts_file = os.path.join(cwd, "simulation_options.txt")
     opts = (SimulationOptions.from_file(opts_file)
@@ -82,7 +82,18 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         build_spec(exact), opts, base_dir=cwd, save_results=save_results,
         seed=seed, second_round=second_round,
     )
-    driver.train()
+    if load_from:
+        # reference load_mode: reload a trained model and skip training
+        # (Examples_Old/Lid_Driven_Cavity/cavity_steady.py:262-279)
+        from tpinn.checkpoint import load_experiment
+
+        loaded, history = load_experiment(load_from)
+        driver.model.params = loaded.params
+        driver.train(skip_training=True, callbacks=False)
+        if history is not None:
+            driver.pb.history = history
+    else:
+        driver.train()
 
     # exact fields on the plotting grid, from the cached oracle csv
     csv = io.read_regular_csv(
@@ -108,7 +119,9 @@ if __name__ == "__main__":
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-solver", type=int, default=128)
+    ap.add_argument("--load", default=None, metavar="FOLDER",
+                    help="reload a saved experiment and skip training")
     args = ap.parse_args()
     main(args.epochs, save_results=not args.scratch,
          second_round=args.second_round, seed=args.seed,
-         n_solver=args.n_solver)
+         n_solver=args.n_solver, load_from=args.load)

@@ -1,0 +1,52 @@
+"""On-device full-BFGS round: convergence on a quadratic and round naming."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tpinn as ns
+from tpinn.models import Model
+
+
+class TinyModel(Model):
+    """2-parameter linear model for fast optimizer tests."""
+
+    def __init__(self):
+        super().__init__([1, 2])
+        self.params = [
+            {"kernel": jnp.array([[5.0, -3.0]]), "bias": jnp.zeros((2,))}
+        ]
+
+    def apply(self, params, x):
+        return x @ params[0]["kernel"] + params[0]["bias"]
+
+
+def _make_problem():
+    model = TinyModel()
+    x = jnp.ones((4, 1))
+    target = jnp.array([2.0, 7.0])
+
+    def residual():
+        return model(x) - target
+
+    pb = ns.OptimizationProblem(
+        model.variables, [ns.LossMeanSquares("fit", residual)], []
+    )
+    return model, pb
+
+
+def test_jax_full_bfgs_converges_quadratic():
+    model, pb = _make_problem()
+    ns.minimize(pb, "jax", "BFGS", num_epochs=30)
+    assert pb.history.round_names == ["jax_BFGS"]
+    assert pb.history.loss_global[-1] < 1e-12
+    kernel = np.asarray(model.params[0]["kernel"])[0]
+    bias = np.asarray(model.params[0]["bias"])
+    np.testing.assert_allclose(kernel + bias, [2.0, 7.0], atol=1e-5)
+
+
+def test_jax_lbfgs_converges_quadratic():
+    model, pb = _make_problem()
+    ns.minimize(pb, "jax", "L-BFGS", num_epochs=30)
+    assert pb.history.round_names == ["jax_L-BFGS"]
+    assert pb.history.loss_global[-1] < 1e-10

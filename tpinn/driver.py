@@ -305,7 +305,8 @@ class StandardNSDriver:
         return losses, losses_test
 
     # ------------------------------------------------------------------ train
-    def train(self, epochs: Optional[int] = None, callbacks: bool = True):
+    def train(self, epochs: Optional[int] = None, callbacks: bool = True,
+              skip_training: bool = False):
         epochs = self.opts.epochs if epochs is None else epochs
         self.folder = experiment.prepare_folder(self.base_dir, self.save_results)
         pb = OptimizationProblem(
@@ -321,6 +322,9 @@ class StandardNSDriver:
                 )
             )
         self.pb = pb
+        if skip_training:
+            # reference load_mode: reload-only runs straight to post-processing
+            return pb
         minimize(pb, "keras", Adam(learning_rate=self.adam_lr),
                  num_epochs=self.adam_epochs)
         if self.second_round == "scipy":

@@ -23,6 +23,7 @@ compiled step.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional, Union
 
@@ -208,6 +209,123 @@ def _minimize_jax_lbfgs(pb, num_epochs: int, memory_size: int = 20):
 
 
 # ---------------------------------------------------------------------------
+# On-device FULL BFGS (dense inverse-Hessian — scipy-BFGS-parity convergence)
+# ---------------------------------------------------------------------------
+#
+# The reference's second round is scipy's dense BFGS over ~2.3k parameters
+# (SURVEY.md §3.2b) — full-memory BFGS converges far deeper than limited-
+# memory L-BFGS on these small problems (observed: 1e-10 vs 1e-6 global loss
+# on Poiseuille).  P ~ few-k ⇒ the P×P inverse-Hessian is tiny; the whole
+# loop (direction, strong-Wolfe zoom line search, rank-2 update) runs in one
+# lax.scan on device.
+
+
+def _wolfe_zoom_linesearch(f_1d, f0, g0, max_iters=30, c1=1e-4, c2=0.9):
+    """Strong-Wolfe line search on φ(a) = f(x + a d).
+
+    f_1d(a) -> (φ(a), φ'(a)).  Bracketing + bisection zoom, fully jittable.
+    Returns (alpha, φ(alpha)).
+    """
+
+    def cond(state):
+        it, done, *_ = state
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+    def body(state):
+        it, done, lo, hi, alpha, best_a, best_f = state
+        fa, ga = f_1d(alpha)
+        armijo = fa <= f0 + c1 * alpha * g0
+        curv = jnp.abs(ga) <= c2 * jnp.abs(g0)
+        ok = jnp.logical_and(armijo, curv)
+        # bracket update
+        hi = jnp.where(jnp.logical_not(armijo), alpha, hi)
+        lo = jnp.where(jnp.logical_and(armijo, ga < 0), alpha, lo)
+        new_alpha = jnp.where(
+            jnp.isinf(hi), alpha * 2.0, 0.5 * (lo + hi)
+        )
+        best_a = jnp.where(fa < best_f, alpha, best_a)
+        best_f = jnp.minimum(fa, best_f)
+        return (it + 1, ok, lo, hi,
+                jnp.where(ok, alpha, new_alpha), best_a, best_f)
+
+    init = (0, jnp.array(False), jnp.zeros_like(f0), jnp.full_like(f0, jnp.inf),
+            jnp.ones_like(f0), jnp.zeros_like(f0), f0)
+    it, done, lo, hi, alpha, best_a, best_f = jax.lax.while_loop(
+        cond, body, init
+    )
+    alpha = jnp.where(done, alpha, best_a)
+    fa, _ = f_1d(alpha)
+    return alpha, fa
+
+
+def _minimize_jax_bfgs(pb, num_epochs: int):
+    params = pb.variables.get()
+    x0, unravel = ravel_pytree(params)
+    n = x0.shape[0]
+    dtype = x0.dtype
+    loss_fn = pb.loss_fn
+    eval_fn = pb.eval_jit()
+    flat_vg = jax.value_and_grad(lambda x: loss_fn(unravel(x)))
+
+    def step(carry, _):
+        x, f, g, H, first = carry
+        d = -(H @ g)
+        dg = jnp.dot(d, g)
+        # reset to steepest descent if not a descent direction
+        bad = dg >= 0
+        d = jnp.where(bad, -g, d)
+        dg = jnp.where(bad, -jnp.dot(g, g), dg)
+
+        def f_1d(a):
+            fa, ga_vec = flat_vg(x + a * d)
+            return fa, jnp.dot(ga_vec, d)
+
+        alpha, f_new = _wolfe_zoom_linesearch(f_1d, f, dg)
+        x_new = x + alpha * d
+        f_new, g_new = flat_vg(x_new)
+        s = x_new - x
+        y = g_new - g
+        ys = jnp.dot(y, s)
+        safe = ys > 1e-12 * jnp.linalg.norm(y) * jnp.linalg.norm(s)
+        rho = jnp.where(safe, 1.0 / jnp.where(safe, ys, 1.0), 0.0)
+        # scale H on the first successful update (Nocedal & Wright eq. 6.20)
+        gamma = jnp.where(
+            jnp.logical_and(first, safe),
+            ys / jnp.dot(y, y),
+            1.0,
+        )
+        H_eff = H * gamma
+        I = jnp.eye(n, dtype=dtype)
+        V = I - rho * jnp.outer(s, y)
+        H_new = jnp.where(
+            safe, V @ H_eff @ V.T + rho * jnp.outer(s, s), H_eff
+        )
+        first_new = jnp.logical_and(first, jnp.logical_not(safe))
+        return (x_new, f_new, g_new, H_new, first_new), f_new
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run_chunk(carry, n_steps):
+        return jax.lax.scan(step, carry, None, length=n_steps)
+
+    f0, g0 = flat_vg(x0)
+    carry = (x0, f0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
+
+    pb.history.start_round("jax_BFGS")
+    t0 = time.perf_counter()
+    _log_point(pb, eval_fn, params, 0)
+    done = 0
+    for target in _log_iters(num_epochs, LOG_STRIDE)[1:]:
+        carry, _ = run_chunk(carry, target - done)
+        done = target
+        _log_point(pb, eval_fn, unravel(carry[0]), done)
+    params = unravel(carry[0])
+    pb.variables.set(params)
+    pb.history.add_wall_time(time.perf_counter() - t0)
+    pb.fire_callbacks(pb.history.iters[-1], force=True)
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Public entry point
 # ---------------------------------------------------------------------------
 
@@ -233,5 +351,8 @@ def minimize(
         method = optimizer if isinstance(optimizer, str) else "BFGS"
         return _minimize_scipy(pb, method, num_epochs)
     if strategy in ("jax", "lbfgs"):
+        method = optimizer if isinstance(optimizer, str) else "L-BFGS"
+        if method.upper().replace("-", "") == "BFGS":
+            return _minimize_jax_bfgs(pb, num_epochs)
         return _minimize_jax_lbfgs(pb, num_epochs, **kwargs)
     raise ValueError(f"unknown strategy {strategy!r}")
