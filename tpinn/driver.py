@@ -58,7 +58,7 @@ from tpinn.pipeline import (
     pressure_mean_penalty,
 )
 from tpinn.problem import OptimizationProblem
-from tpinn.utils import HistoryPlotCallback
+from tpinn.utils import CheckpointCallback, HistoryPlotCallback
 
 BndValue = Union[float, Callable, None]
 
@@ -319,6 +319,11 @@ class StandardNSDriver:
                     gui=False,
                     filename=os.path.join(self.folder, "Loss_Trend_Full.png"),
                     filename_history=os.path.join(self.folder, "History_Loss.json"),
+                )
+            )
+            pb.callbacks.append(
+                CheckpointCallback(
+                    os.path.join(self.folder, "checkpoint.pkl"), frequency=100
                 )
             )
         self.pb = pb

@@ -89,6 +89,38 @@ def plot_history(path, filename=None, gui: bool = False):
     return _plot_history_dict(history, filename=filename, gui=gui)
 
 
+class CheckpointCallback:
+    """Periodic full-state flush: params + history cursor survive a crash.
+
+    The reference's only resilience is the history flush every 100 iters
+    (SURVEY.md §5.3); this adds recoverable model state on the same cadence.
+    Restore with ``tpinn.checkpoint.load_checkpoint`` → ``variables.set``.
+    """
+
+    def __init__(self, path, frequency: int = 100):
+        self.path = str(path)
+        self.frequency = int(frequency)
+        self._last_fired = None
+
+    def __call__(self, pb, iteration: int, force: bool = False) -> None:
+        if not force:
+            if self.frequency <= 0 or iteration % self.frequency != 0:
+                return
+            if self._last_fired == iteration:
+                return
+        self._last_fired = iteration
+        from tpinn.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            self.path,
+            pb.variables.get(),
+            extra={
+                "iteration": iteration,
+                "rounds": list(pb.history.round_names),
+            },
+        )
+
+
 class HistoryPlotCallback:
     """Periodic history flush + loss-trend plot.
 
