@@ -86,7 +86,7 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "none"])
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "none"])
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()

@@ -172,6 +172,8 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         ns.minimize(pb, "scipy", "BFGS", num_epochs=opts.epochs)
     elif second_round == "jax":
         ns.minimize(pb, "jax", "L-BFGS", num_epochs=opts.epochs)
+    elif second_round in ("jax-bfgs", "bfgs"):
+        ns.minimize(pb, "jax", "BFGS", num_epochs=opts.epochs)
 
     # ----- artifacts
     ns.checkpoint.save_experiment(folder, model, pb.history)
@@ -204,7 +206,7 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "none"])
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "none"])
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()

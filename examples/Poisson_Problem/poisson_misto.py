@@ -76,6 +76,8 @@ def main(epochs: int = 7500, save_plots: bool = True, out_dir: str = None,
     ns.minimize(pb, "keras", ns.optimizers.Adam(learning_rate=1e-2), num_epochs=100)
     if second_round == "scipy":
         ns.minimize(pb, "scipy", "L-BFGS-B", num_epochs=epochs)
+    elif second_round in ("jax-bfgs", "bfgs"):
+        ns.minimize(pb, "jax", "BFGS", num_epochs=epochs)
     else:
         ns.minimize(pb, "jax", "L-BFGS", num_epochs=epochs)
 
@@ -97,7 +99,7 @@ def main(epochs: int = 7500, save_plots: bool = True, out_dir: str = None,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=7500)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax"])
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs"])
     ap.add_argument("--no-plots", action="store_true")
     args = ap.parse_args()
     main(args.epochs, save_plots=not args.no_plots, second_round=args.second_round)

@@ -64,7 +64,7 @@ def run_case(name, path, epochs, second_round):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs-scale", type=float, default=1.0)
-    ap.add_argument("--second-round", default="jax", choices=["jax", "scipy"])
+    ap.add_argument("--second-round", default="jax", choices=["jax", "jax-bfgs", "scipy"])
     ap.add_argument("--only", default=None,
                     help="comma-separated case names to run")
     ap.add_argument("--out", default=os.path.join(ROOT, "RESULTS.md"))

@@ -108,6 +108,7 @@ class StandardNSDriver:
         scipy_method: str = "BFGS",
         adam_epochs: int = 100,
         adam_lr: float = 1e-2,
+        mesh=None,
     ):
         self.spec = spec
         self.opts = opts
@@ -118,8 +119,26 @@ class StandardNSDriver:
         self.scipy_method = scipy_method
         self.adam_epochs = adam_epochs
         self.adam_lr = adam_lr
+        self.mesh = mesh
         self.folder: Optional[str] = None
         self._build()
+        if mesh is not None:
+            from tpinn import sharding as shd
+
+            self.model.params = shd.replicate(self.model.params, mesh)
+
+    def _maybe_shard(self, arr):
+        """Point-axis data parallelism: place a point batch sharded over the
+        mesh when its length divides the device count (loss means then reduce
+        with XLA-inserted psums; see tpinn.sharding)."""
+        if self.mesh is None:
+            return arr
+        n_dev = self.mesh.devices.size
+        if arr.shape[0] > 0 and arr.shape[0] % n_dev == 0:
+            from tpinn import sharding as shd
+
+            return shd.shard_points(arr, self.mesh, pad=False)
+        return arr
 
     # ------------------------------------------------------------------ build
     def _build(self) -> None:
@@ -224,7 +243,9 @@ class StandardNSDriver:
         model, norm = self.model, self.norm
         LMS = LossMeanSquares
 
-        x_pde = jnp.take(self.dom_grid, jnp.asarray(self.idx_set["PDE"]), axis=0)
+        x_pde = self._maybe_shard(
+            jnp.take(self.dom_grid, jnp.asarray(self.idx_set["PDE"]), axis=0)
+        )
         pde_bundle = ResidualBundle(model, x_pde, unsteady=spec.unsteady)
 
         losses = []
@@ -247,7 +268,8 @@ class StandardNSDriver:
                     if (edge, comp) in spec.neumann:
                         direction = spec.neumann[(edge, comp)]
                         bundle = ResidualBundle(
-                            model, self.bnd_pts[edge], unsteady=spec.unsteady
+                            model, self._maybe_shard(self.bnd_pts[edge]),
+                            unsteady=spec.unsteady,
                         )
                         losses.append(
                             LMS(f"BCN_{tag}",
@@ -271,7 +293,9 @@ class StandardNSDriver:
                         weight=spec.weight("IC", 1e0))
                 )
 
-        x_vel = jnp.take(self.dom_grid, jnp.asarray(self.idx_set["Vel"]), axis=0)
+        x_vel = self._maybe_shard(
+            jnp.take(self.dom_grid, jnp.asarray(self.idx_set["Vel"]), axis=0)
+        )
         if opts.fit_velocity:
             losses += [
                 LMS("Fit_u", lambda: dirichlet_residual(model, x_vel, 0, self.sol_noise[0]),
@@ -293,7 +317,7 @@ class StandardNSDriver:
             )
 
         it = jnp.asarray(self.idx_set["Test"])
-        x_test = jnp.take(self.dom_grid, it, axis=0)
+        x_test = self._maybe_shard(jnp.take(self.dom_grid, it, axis=0))
         losses_test = [
             LMS("u_test", lambda: dirichlet_residual(
                 model, x_test, 0, jnp.take(self.sol_norm[0], it))),
@@ -336,6 +360,9 @@ class StandardNSDriver:
             minimize(pb, "scipy", self.scipy_method, num_epochs=epochs)
         elif self.second_round == "jax":
             minimize(pb, "jax", "L-BFGS", num_epochs=epochs)
+        elif self.second_round in ("jax-bfgs", "bfgs"):
+            # dense on-device BFGS: scipy-class convergence, no host loop
+            minimize(pb, "jax", "BFGS", num_epochs=epochs)
         return pb
 
     # ----------------------------------------------------------------- output

@@ -5,6 +5,17 @@ The framework's hot op (≥99% of runtime, SURVEY.md §3.2) is the fused
 batch.  tpinn.pallas.mlp_bundle implements it as a single TPU kernel with
 Taylor-mode propagation laid out for the MXU/VPU; falls back transparently
 to the jet-based XLA path on other backends.
+
+Performance status (v5e, 65k points, 2→32³→3 MLP):
+* XLA jet path, reduction-fused scalar loss: ~40 µs/eval — the production
+  training path (XLA fuses the whole residual+MSE graph).
+* mlp_taylor_bundle (materializing outputs): correct, compiles ~70x faster
+  than the jet graph through the remote-compile tunnel, but slower to run;
+  useful where bundle outputs are consumed directly.
+* ns_residual_mse (in-kernel reduction): correct but the constant-output-
+  block accumulator serializes the grid pipeline (~27 ms) — needs a
+  per-tile-output + host-sum layout and transposed input blocks.  Kept as a
+  validated starting point for kernel work; not used by default.
 """
 
 from tpinn.pallas.mlp_bundle import mlp_taylor_bundle, ns_residual_mse, pallas_available

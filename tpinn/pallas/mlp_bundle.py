@@ -101,104 +101,104 @@ def _kernel(x_ref, *refs, dim: int, widths: Sequence[int], np_tile: int):
     hdiag_out[...] = jnp.stack(hdg, axis=-1).transpose(1, 0, 2)
 
 
-def _residual_kernel(x_ref, *refs, dim: int, widths: Sequence[int],
-                     np_tile: int, phys: dict, n_total: int):
-    """Taylor propagation + in-kernel Navier–Stokes residual reduction.
+def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
+                     chunk: int, n_chunks: int, phys: dict, n_total: int):
+    """Single-instance fused NS-residual kernel.
 
-    Emits per-tile partial sums of squared residuals (mass, mom-u, mom-v) —
-    nothing else leaves VMEM, so the whole residual evaluation is one kernel.
-    Steady 2-D form; physics/normalization constants are baked at trace time.
+    The whole (transposed) point batch lives in VMEM; an internal fori_loop
+    walks lane-chunks, propagating the five Taylor streams through the MLP
+    (one (out, in) @ (in, 5*chunk) MXU matmul per layer) and accumulating the
+    three squared-residual partial sums in the loop carry.  No grid, no
+    output-block revisiting — the pipeline serialization of a constant-output
+    accumulator block is avoided entirely.
     """
+    import jax.experimental.pallas as pl
+
     n_layers = len(widths) - 1
     w_refs = refs[:n_layers]
     b_refs = refs[n_layers : 2 * n_layers]
     out_ref = refs[2 * n_layers]
 
-    NP = np_tile
-    x = x_ref[...]
-    xt = x.T
     d_in = widths[0]
-    eye = jnp.eye(d_in, dtype=x.dtype)
-    streams = [xt]
-    for k in range(dim):
-        streams.append(jnp.broadcast_to(eye[:, k : k + 1], (d_in, NP)))
-    for _ in range(dim):
-        streams.append(jnp.zeros((d_in, NP), dtype=x.dtype))
-    s = jnp.concatenate(streams, axis=1)
-
-    for li in range(n_layers):
-        w = w_refs[li][...]
-        b = b_refs[li][...]
-        z = jax.lax.dot_general(
-            w, s, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        zv = z[:, :NP] + b.T
-        if li < n_layers - 1:
-            v = jnp.tanh(zv)
-            tp = 1.0 - v * v
-            new = [v]
-            for k in range(dim):
-                gz = z[:, (1 + k) * NP : (2 + k) * NP]
-                new.append(tp * gz)
-            for k in range(dim):
-                gz = z[:, (1 + k) * NP : (2 + k) * NP]
-                hz = z[:, (1 + dim + k) * NP : (2 + dim + k) * NP]
-                new.append(-2.0 * v * tp * gz * gz + tp * hz)
-            s = jnp.concatenate(new, axis=1)
-        else:
-            s = jnp.concatenate([zv, z[:, NP:]], axis=1)
-
-    val = s[:, :NP]                    # (3, NP): u*, v*, p*
-    g0 = s[:, NP : 2 * NP]             # d/dx
-    g1 = s[:, 2 * NP : 3 * NP]         # d/dy
-    h0 = s[:, 3 * NP : 4 * NP]         # d²/dx²
-    h1 = s[:, 4 * NP : 5 * NP]         # d²/dy²
-
+    dtype = xt_ref.dtype
+    eye = jnp.eye(d_in, dtype=dtype)
     nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
     conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
 
-    # mask out padded lanes (points beyond n_total contribute nothing)
-    import jax.experimental.pallas as pl
-    tile = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)[0]
-    valid = (lane + tile * NP) < n_total
+    ws = [w_refs[i][...] for i in range(n_layers)]
+    bs = [b_refs[i][...] for i in range(n_layers)]
 
-    r_mass = jnp.where(valid, g0[0] + g1[1], 0.0)
-    U = nv * val[0]
-    V = nv * val[1]
-    partials = [jnp.sum(r_mass * r_mass)]
-    for k in (0, 1):
-        dkx = nv * g0[k]
-        dky = nv * g1[k]
-        lap = nv * (h0[k] + h1[k])
-        dp = npre * (g0[2] if k == 0 else g1[2])
-        r = (conv * (U * dkx + V * dky) - visc * lap + pres * dp) * scale
-        r = jnp.where(valid, r, 0.0)
-        partials.append(jnp.sum(r * r))
+    def body(c, acc):
+        xt = xt_ref[:, pl.ds(c * chunk, chunk)]  # (d_in, CH)
+        streams = [xt]
+        for k in range(dim):
+            streams.append(
+                jnp.broadcast_to(eye[:, k : k + 1], (d_in, chunk))
+            )
+        for _ in range(dim):
+            streams.append(jnp.zeros((d_in, chunk), dtype=dtype))
+        s = jnp.concatenate(streams, axis=1)  # (d_in, 5*CH)
 
-    # accumulate into a single (8, 128)-tile output (grid steps run
-    # sequentially on TPU, so read-modify-write across tiles is safe)
-    @pl.when(tile == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for li in range(n_layers):
+            z = jax.lax.dot_general(
+                ws[li], s, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            zv = z[:, :chunk] + bs[li].T
+            if li < n_layers - 1:
+                v = jnp.tanh(zv)
+                tp = 1.0 - v * v
+                new = [v]
+                for k in range(dim):
+                    gz = z[:, (1 + k) * chunk : (2 + k) * chunk]
+                    new.append(tp * gz)
+                for k in range(dim):
+                    gz = z[:, (1 + k) * chunk : (2 + k) * chunk]
+                    hz = z[:, (1 + dim + k) * chunk : (2 + dim + k) * chunk]
+                    new.append(-2.0 * v * tp * gz * gz + tp * hz)
+                s = jnp.concatenate(new, axis=1)
+            else:
+                s = jnp.concatenate([zv, z[:, chunk:]], axis=1)
 
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sub_row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    acc = jnp.zeros((8, 128), dtype=x.dtype)
-    for j, pval in enumerate(partials):
-        acc = acc + jnp.where(
-            (sub_row == 0) & (lane_row == j), pval, 0.0
-        )
-    out_ref[...] += acc
+        val = s[:, :chunk]
+        g0 = s[:, chunk : 2 * chunk]
+        g1 = s[:, 2 * chunk : 3 * chunk]
+        h0 = s[:, 3 * chunk : 4 * chunk]
+        h1 = s[:, 4 * chunk : 5 * chunk]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)[0]
+        valid = (lane + c * chunk) < n_total
+
+        r_mass = jnp.where(valid, g0[0] + g1[1], 0.0)
+        U = nv * val[0]
+        V = nv * val[1]
+        pm = jnp.sum(r_mass * r_mass)
+        moms = []
+        for k in (0, 1):
+            dkx = nv * g0[k]
+            dky = nv * g1[k]
+            lap = nv * (h0[k] + h1[k])
+            dp = npre * (g0[2] if k == 0 else g1[2])
+            r = (conv * (U * dkx + V * dky) - visc * lap + pres * dp) * scale
+            r = jnp.where(valid, r, 0.0)
+            moms.append(jnp.sum(r * r))
+        return acc + jnp.stack([pm, moms[0], moms[1]])
+
+    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((3,), dtype=dtype))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    out = jnp.zeros((8, 128), dtype=dtype)
+    for j in range(3):
+        out = out + jnp.where((sub == 0) & (lane == j), acc[j], 0.0)
+    out_ref[...] = out
 
 
-def ns_residual_mse(params, x, physics, norm, np_tile: int = 512,
+def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
                     interpret: bool = False):
     """(mse_mass, mse_u, mse_v) for the steady 2-D NS residual — one fused
-    Pallas kernel, in-kernel reduction.  Forward-only (no custom VJP yet):
-    used by the benchmark and residual monitoring; the training path keeps
-    the XLA-fused jet graph."""
+    Pallas kernel with an in-kernel chunk loop and reduction.  Forward-only
+    (no custom VJP yet): used by the benchmark and residual monitoring; the
+    training path keeps the XLA-fused jet graph."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -209,11 +209,13 @@ def ns_residual_mse(params, x, physics, norm, np_tile: int = 512,
         int(params[-1]["kernel"].shape[1])
     ]
     dtype = x.dtype
-    n_pad = -(-n // np_tile) * np_tile
+    chunk = int(np_tile)
+    n_pad = -(-n // chunk) * chunk
     if n_pad != n:
         x = jnp.concatenate(
             [x, jnp.zeros((n_pad - n, d_in), dtype=dtype)], axis=0
         )
+    xt = x.T  # (d_in, n_pad): points on lanes
     w_args = [jnp.asarray(p["kernel"], dtype=dtype) for p in params]
     b_args = [jnp.asarray(p["bias"], dtype=dtype)[None, :] for p in params]
 
@@ -224,31 +226,21 @@ def ns_residual_mse(params, x, physics, norm, np_tile: int = 512,
         "pres": float(physics.pres),
     }
     kernel = functools.partial(
-        _residual_kernel, dim=dim, widths=widths, np_tile=np_tile, phys=phys,
-        n_total=n,
+        _residual_kernel, dim=dim, widths=widths, chunk=chunk,
+        n_chunks=n_pad // chunk, phys=phys, n_total=n,
     )
-    grid = (n_pad // np_tile,)
-    in_specs = [
-        pl.BlockSpec((np_tile, d_in), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM)
-    ]
-    for w in w_args:
-        in_specs.append(
-            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        )
-    for b in b_args:
-        in_specs.append(
-            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    for _ in w_args:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    for _ in b_args:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     acc = pl.pallas_call(
         kernel,
-        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), dtype),
         interpret=interpret,
-    )(x, *w_args, *b_args)
+    )(xt, *w_args, *b_args)
     return acc[0, :3] / n
 
 
