@@ -40,6 +40,8 @@ from tpinn import experiment
 from tpinn import viz
 from tpinn import pipeline
 from tpinn import oracles
+from tpinn import driver
+from tpinn import profiling
 
 __version__ = "0.1.0"
 
@@ -63,4 +65,6 @@ __all__ = [
     "viz",
     "pipeline",
     "oracles",
+    "driver",
+    "profiling",
 ]

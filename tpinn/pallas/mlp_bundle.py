@@ -129,7 +129,7 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     bs = [b_refs[i][...] for i in range(n_layers)]
 
     def body(c, acc):
-        xt = xt_ref[:, pl.ds(c * chunk, chunk)]  # (d_in, CH)
+        xt = xt_ref[c]  # (d_in, CH) — leading-dim index, no lane slicing
         streams = [xt]
         for k in range(dim):
             streams.append(
@@ -215,7 +215,10 @@ def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
         x = jnp.concatenate(
             [x, jnp.zeros((n_pad - n, d_in), dtype=dtype)], axis=0
         )
-    xt = x.T  # (d_in, n_pad): points on lanes
+    # (n_chunks, d_in, chunk): points on lanes, chunk along the leading dim
+    xt = jnp.transpose(
+        x.reshape(n_pad // chunk, chunk, d_in), (0, 2, 1)
+    )
     w_args = [jnp.asarray(p["kernel"], dtype=dtype) for p in params]
     b_args = [jnp.asarray(p["bias"], dtype=dtype)[None, :] for p in params]
 
