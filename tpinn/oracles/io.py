@@ -106,6 +106,31 @@ def read_regular_csv(path):
     return out
 
 
+def write_xdmf(path, h5_filename, n_points: int, time: float = 0.0) -> None:
+    """Minimal XDMF wrapper referencing a fields h5 (the reference's FEM
+    stage writes .xdmf + .h5 pairs, fluid_solver_steady.py:97-102; only the
+    h5 is read by the drivers, so this exists for artifact-layout parity)."""
+    xml = f"""<?xml version="1.0"?>
+<!DOCTYPE Xdmf SYSTEM "Xdmf.dtd" []>
+<Xdmf Version="3.0">
+  <Domain>
+    <Grid Name="mesh" GridType="Uniform">
+      <Time Value="{time}" />
+      <Attribute Name="u" AttributeType="Vector" Center="Node">
+        <DataItem Dimensions="{n_points} 2" Format="HDF">{h5_filename}:/VisualisationVector/0</DataItem>
+      </Attribute>
+      <Attribute Name="p" AttributeType="Scalar" Center="Node">
+        <DataItem Dimensions="{n_points}" Format="HDF">{h5_filename}:/VisualisationVector/1</DataItem>
+      </Attribute>
+    </Grid>
+  </Domain>
+</Xdmf>
+"""
+    os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(xml)
+
+
 def load_bpoints(path) -> dict:
     """Labeled boundary points {NOSL, INF, OUT1, OUT2} → (K_i, 2) arrays
     (reference coronary_flow_steady.py:141-146)."""
