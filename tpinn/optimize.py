@@ -162,7 +162,7 @@ def _minimize_scipy(pb, method: str, num_epochs: int):
 # ---------------------------------------------------------------------------
 
 
-def _minimize_jax_lbfgs(pb, num_epochs: int, memory_size: int = 20):
+def _minimize_jax_lbfgs(pb, num_epochs: int, memory_size: int = 50):
     params = pb.variables.get()
     loss_fn = pb.loss_fn
     eval_fn = pb.eval_jit()
@@ -170,7 +170,7 @@ def _minimize_jax_lbfgs(pb, num_epochs: int, memory_size: int = 20):
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=20, initial_guess_strategy="one"
+            max_linesearch_steps=30, initial_guess_strategy="one"
         ),
     )
     opt_state = opt.init(params)
