@@ -143,6 +143,48 @@ def taylor_bundle(f: Callable, dim: int) -> Callable:
     return bundle
 
 
+def mlp_taylor_batched(params, x, dim: int, activation=jnp.tanh):
+    """Closed-form batched Taylor-bundle for a dense MLP — no jet, no vmap.
+
+    Same propagation math as the Pallas kernel (tpinn.pallas.mlp_bundle) but
+    expressed as plain batched matmuls, so it traces in milliseconds (the
+    jet-based path re-interprets jaxprs in Python on every trace, which
+    dominated compile times for large cases) and XLA sees clean
+    (N, w) @ (w, w) matmuls directly.
+
+    params: list of {"kernel", "bias"}; x: (N, d_in).
+    Returns (value (N, d_out), jac (N, d_out, dim), hdiag (N, d_out, dim)).
+
+    Only exact for elementwise activations with known first/second
+    derivatives (tanh here); tpinn.pipeline uses it automatically for plain
+    tanh MLPs and falls back to the jet path otherwise.
+    """
+    n = x.shape[0]
+    d_in = x.shape[1]
+    a = x
+    eye = jnp.eye(d_in, dtype=x.dtype)
+    g = [jnp.broadcast_to(eye[k], (n, d_in)) for k in range(dim)]
+    h = [jnp.zeros((n, d_in), dtype=x.dtype) for _ in range(dim)]
+    n_layers = len(params)
+    for li, layer in enumerate(params):
+        W, b = layer["kernel"], layer["bias"]
+        z = a @ W + b
+        gz = [gk @ W for gk in g]
+        hz = [hk @ W for hk in h]
+        if li < n_layers - 1:
+            t = activation(z)
+            tp = 1.0 - t * t          # tanh'
+            tpp = -2.0 * t * tp       # tanh''
+            a = t
+            g = [tp * gzk for gzk in gz]
+            h = [tpp * gzk * gzk + tp * hzk for gzk, hzk in zip(gz, hz)]
+        else:
+            a, g, h = z, gz, hz
+    jac = jnp.stack(g, axis=-1)
+    hdiag = jnp.stack(h, axis=-1)
+    return a, jac, hdiag
+
+
 # Batched (vmapped) conveniences ------------------------------------------------
 
 
