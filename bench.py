@@ -1,4 +1,4 @@
-"""Benchmark: Navier–Stokes residual-evaluation throughput (pts/sec/chip).
+"""Benchmark: NS residual + full train-step throughput (pts/sec/chip) + MFU.
 
 North-star metric from BASELINE.md / BASELINE.json: collocation pts/sec/chip
 on the fused PDE residual evaluation (forward + all first derivatives +
@@ -8,12 +8,24 @@ reference's own implementation style — an eager, tape-walking autograd
 evaluation on CPU (the reference is TF2-eager CPU; measured here with the
 equivalent torch-CPU tape implementation, since TF is not in this image).
 
-Prints ONE JSON line:
-  {"metric": "ns_residual_pts_per_sec", "value": ..., "unit": "pts/s",
-   "vs_baseline": ...}
+Measured modes (scan-amortized: a lax.scan of K iterations inside ONE jit,
+result fetched to host — the same shape as the real training loop's
+run_chunk, so dispatch/tunnel latency is amortized exactly as in training;
+per-call block_until_ready through the remote-TPU tunnel was measured to be
+unreliable in both directions):
+  * forward residual loss (XLA jet path)        — the round-1 headline metric
+  * full train step: value_and_grad + Adam      — what training actually runs
+  * the same train step through the Pallas fused kernel (custom fwd+bwd)
 
-vs_baseline = (tpinn on this chip) / (reference-style tape eval on CPU).
-Target from BASELINE.json: ≥10x.
+MFU is estimated from XLA's own cost analysis (compiled.cost_analysis()
+flops) against the chip's bf16 peak (v5e ≈ 197 TFLOP/s); for the f32 runs
+this understates achievable peak, so it is a conservative bound.
+
+Prints ONE JSON line; headline metric unchanged across rounds
+(ns_residual_pts_per_sec), extra keys carry the train-step/Pallas numbers:
+  {"metric": "ns_residual_pts_per_sec", "value": ..., "unit": "pts/s",
+   "vs_baseline": ..., "train_step_pts_per_sec": ..., "train_mfu_bf16": ...,
+   "pallas_train_pts_per_sec": ..., "train_default": "xla"|"pallas"}
 """
 
 import argparse
@@ -23,19 +35,21 @@ import time
 
 import numpy as np
 
+PEAK_FLOPS = {  # bf16 peak per chip
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+}
 
-def bench_tpinn(n_points: int, iters: int, dtype_name: str = "float32"):
+
+def _setup(dtype_name):
     import jax
     import jax.numpy as jnp
 
     from tpinn.geometry import Normalization
     from tpinn.models import MLP
-    from tpinn.pipeline import (
-        NSPhysics,
-        ResidualBundle,
-        mass_residual,
-        momentum_residual,
-    )
+    from tpinn.pipeline import NSPhysics
 
     dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
     model = MLP(2, 3, width=32, depth=3, seed=0)
@@ -44,36 +58,104 @@ def bench_tpinn(n_points: int, iters: int, dtype_name: str = "float32"):
     norm = Normalization(np.array([0.0, 500.0]), np.array([0.0, 250.0]),
                          np.array([-1e4, 1e4]))
     physics = NSPhysics(conv=1.0, visc=1.0)
+    return model, params, norm, physics, dtype
 
-    x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (n_points, 2)), dtype=dtype
-    )
 
-    def residual_eval(params, x):
+def _time_scan(loop_fn, args, iters):
+    """Scan-amortized timing: loop_fn is a jitted function that runs `iters`
+    inner iterations via lax.scan and returns a scalar; the scalar is fetched
+    (device_get) so the measurement includes full completion."""
+    import jax
+
+    out = float(jax.device_get(loop_fn(*args)))  # compile + warm
+    t0 = time.perf_counter()
+    out = float(jax.device_get(loop_fn(*args)))
+    return (time.perf_counter() - t0) / iters, out
+
+
+def _flops_of(fn, args):
+    import jax
+
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _xla_loss_fn(model, norm, physics):
+    import jax.numpy as jnp
+
+    from tpinn.pipeline import ResidualBundle, mass_residual, momentum_residual
+
+    def loss_fn(params, x):
         prev = model._bound
         model._bound = params
-        bundle = ResidualBundle(model, x)
+        bundle = ResidualBundle(model, x, use_pallas=False)
         rm = mass_residual(bundle, norm)
         ru = momentum_residual(bundle, 0, physics, norm)
         rv = momentum_residual(bundle, 1, physics, norm)
         model._bound = prev
-        return (
-            10.0 * jnp.mean(rm**2) + jnp.mean(ru**2) + jnp.mean(rv**2)
-        )
+        return 10.0 * jnp.mean(rm**2) + jnp.mean(ru**2) + jnp.mean(rv**2)
 
-    fn = jax.jit(residual_eval)
-    out = fn(params, x)
-    jax.block_until_ready(out)  # compile + warm
-    out = fn(params, x)
-    jax.block_until_ready(out)
+    return loss_fn
 
-    # synchronize every iteration: dispatch latency is counted, so the
-    # number is an honest end-to-end throughput, not a pipelined upper bound
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.block_until_ready(fn(params, x))
-    dt = time.perf_counter() - t0
-    return n_points * iters / dt, float(out)
+
+def bench_forward(model, params, norm, physics, x, iters):
+    import jax
+
+    loss_fn = _xla_loss_fn(model, norm, physics)
+
+    @jax.jit
+    def loop(p, x):
+        def body(acc, _):
+            return acc + loss_fn(p, x), None
+
+        acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
+        return acc
+
+    dt, out = _time_scan(loop, (params, x), iters)
+    return x.shape[0] / dt, out
+
+
+def bench_train_step(model, params, norm, physics, x, iters, use_pallas):
+    import jax
+    import optax
+
+    if use_pallas:
+        from tpinn.pallas.mlp_bundle import ns_residual_mse
+
+        def loss_fn(p, x):
+            m = ns_residual_mse(p, x, physics, norm)
+            return 10.0 * m[0] + m[1] + m[2]
+    else:
+        loss_fn = _xla_loss_fn(model, norm, physics)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    def step(carry, _):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, x)
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    @jax.jit
+    def loop(p, s, x):
+        (_, _), losses = jax.lax.scan(step, (p, s), None, length=iters)
+        return losses[-1]
+
+    dt, out = _time_scan(loop, (params, opt_state, x), iters)
+    flops = _flops_of(loop, (params, opt_state, x))
+    per_iter_flops = flops / iters if flops else None
+    return (
+        x.shape[0] / dt,
+        per_iter_flops,
+        (per_iter_flops / dt if per_iter_flops else None),
+    )
 
 
 def bench_torch_reference_style(n_points: int, iters: int):
@@ -102,13 +184,11 @@ def bench_torch_reference_style(n_points: int, iters: int):
 
     def residual_eval():
         losses = []
-        # PDE_MASS: its own tape walk (reference PDE_MASS, :173-178)
         xg = x.clone().requires_grad_(True)
         out = model(xg)
         du = grad_col(out[:, 0], xg)
         dv = grad_col(out[:, 1], xg)
         losses.append(10.0 * torch.mean((du[:, 0] + dv[:, 1]) ** 2))
-        # PDE_MOM(k): forward + grads + laplacian per component (:180-197)
         for k in (0, 1):
             xg = x.clone().requires_grad_(True)
             out = model(xg)
@@ -141,12 +221,44 @@ def main(argv=None):
     ap.add_argument("--baseline-points", type=int, default=4096)
     ap.add_argument("--baseline-iters", type=int, default=5)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args(argv)
     if args.quick:
         args.points, args.iters = 8192, 5
         args.baseline_points, args.baseline_iters = 1024, 2
 
-    pts_per_sec, loss = bench_tpinn(args.points, args.iters)
+    import jax
+    import jax.numpy as jnp
+
+    model, params, norm, physics, dtype = _setup("float32")
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (args.points, 2)), dtype=dtype
+    )
+
+    fwd_pts_per_sec, _ = bench_forward(model, params, norm, physics, x,
+                                       args.iters)
+    train_pts, train_flops, train_flops_per_sec = bench_train_step(
+        model, params, norm, physics, x, args.iters, use_pallas=False
+    )
+
+    pallas_train_pts = None
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not args.no_pallas:
+        try:
+            pallas_train_pts, _, _ = bench_train_step(
+                model, params, norm, physics, x, args.iters, use_pallas=True
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"pallas train bench failed: {e}", file=sys.stderr)
+
+    dev_kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(dev_kind)
+    mfu = (
+        round(train_flops_per_sec / peak, 4)
+        if (train_flops_per_sec and peak)
+        else None
+    )
+
     try:
         base_pts_per_sec, _ = bench_torch_reference_style(
             args.baseline_points, args.baseline_iters
@@ -157,12 +269,24 @@ def main(argv=None):
 
     result = {
         "metric": "ns_residual_pts_per_sec",
-        "value": round(pts_per_sec, 1),
+        "value": round(fwd_pts_per_sec, 1),
         "unit": "pts/s",
         "vs_baseline": (
-            round(pts_per_sec / base_pts_per_sec, 2)
+            round(fwd_pts_per_sec / base_pts_per_sec, 2)
             if base_pts_per_sec
             else None
+        ),
+        "train_step_pts_per_sec": round(train_pts, 1),
+        "train_step_flops": train_flops,
+        "train_mfu_bf16_peak": mfu,
+        "device_kind": dev_kind,
+        "pallas_train_pts_per_sec": (
+            round(pallas_train_pts, 1) if pallas_train_pts else None
+        ),
+        "train_default": (
+            "pallas"
+            if (pallas_train_pts and pallas_train_pts > train_pts)
+            else "xla"
         ),
     }
     print(json.dumps(result))

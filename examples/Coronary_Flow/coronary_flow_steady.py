@@ -52,7 +52,6 @@ LOSS_GROUPS = {
 HERE = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_MSH = os.path.join(HERE, "coroParam.msh")
 REFERENCE_MSH = "/root/reference/Examples/Coronary_Flow/coroParam.msh"
-REFERENCE_BPTS = "/root/reference/DataGeneration/data/SteadyCase/bpoints.npy"
 
 
 def _asset_paths(cwd):
@@ -60,8 +59,12 @@ def _asset_paths(cwd):
     bpts = os.path.join(cwd, "bpoints.npy")
     if not os.path.exists(msh) and os.path.exists(REFERENCE_MSH):
         shutil.copy(REFERENCE_MSH, msh)
-    if not os.path.exists(bpts) and os.path.exists(REFERENCE_BPTS):
-        shutil.copy(REFERENCE_BPTS, bpts)
+    if not os.path.exists(bpts):
+        # derive labeled boundary points from the mesh itself (parity with
+        # the reference file is pinned by tests/test_reference_parity.py)
+        from tpinn.oracles.coronary import generate_bpoints
+
+        np.save(bpts, generate_bpoints(msh))
     return msh, bpts
 
 

@@ -76,6 +76,15 @@ def main(epochs: int = 500, save_plots: bool = True, out_dir: str = None,
     pb.save_history(history_file)
     if save_plots:
         ns.utils.plot_history(history_file)
+        # 3-D scatter exact vs PINN on the test points (reference
+        # poisson.py:85-91)
+        from tpinn import viz
+
+        viz.scatter3d_compare(
+            x_test[:, 0], x_test[:, 1], u_test[:, 0],
+            np.asarray(model(x_test))[:, 0],
+            filename=os.path.join(cwd, "Images", "Poisson_scatter.png"),
+        )
 
     final_test = pb.history.losses_test["fit"]["log"][-1]
     print(f"final global loss: {pb.history.loss_global[-1]:.3e}")

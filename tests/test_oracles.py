@@ -30,6 +30,38 @@ def test_cavity_steady_vs_ghia_re100():
     assert np.max(np.abs(ui - GHIA_RE100_U)) < 0.02
 
 
+GHIA_RE400_U = np.array(
+    [0.0, -0.08186, -0.09266, -0.10338, -0.14612, -0.24299, -0.32726,
+     -0.17119, -0.11477, 0.02135, 0.16256, 0.29093, 0.55892, 0.61756,
+     0.68439, 0.75837, 1.0]
+)
+
+
+@pytest.mark.slow
+def test_cavity_steady_vs_ghia_re400():
+    n = 128
+    u, v, p = cavity.solve_cavity_steady(re=400.0, n=n, t_end=35.0)
+    uu = u.reshape(n + 1, n + 1)
+    ys = np.linspace(0, 1, n + 1)
+    # Ghia's 17 sample y-locations are the same for every Re column
+    ui = np.interp(GHIA_RE100_Y, ys, uu[:, n // 2])
+    assert np.max(np.abs(ui - GHIA_RE400_U)) < 0.04
+
+
+def test_cavity_pressure_not_accumulating():
+    """Non-incremental Chorin regression: state pressure is the projection
+    potential itself, so the steady-state pressure field must be independent
+    of how long the solver marches (the p+phi accumulation bug made it grow
+    linearly with step count and poisoned the committed example data)."""
+    spreads = []
+    for t_end in (3.0, 6.0):
+        u, v, p = cavity.solve_cavity_steady(re=100.0, n=32, t_end=t_end)
+        spreads.append(p.max() - p.min())
+    assert spreads[1] == pytest.approx(spreads[0], rel=1e-3)
+    # nondimensional pressure is O(1), not O(steps)
+    assert spreads[0] < 50.0
+
+
 def test_cavity_unsteady_short_run():
     times, snaps = cavity.solve_cavity_unsteady(
         nu=1.0, lid_velocity=1.0, t_end=5e-4, dt_out=1e-4, n=32

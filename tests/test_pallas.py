@@ -37,3 +37,63 @@ def test_pallas_bundle_3d_input():
                                    np_tile=256)
     np.testing.assert_allclose(np.asarray(j1), np.asarray(j2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-4)
+
+
+def test_ns_residual_mse_custom_vjp_matches_xla():
+    """Hand-written backward kernel: grads of the fused residual MSEs match
+    jax.grad of the XLA jet path to float64 precision (interpret mode)."""
+    from tpinn.geometry import Normalization
+    from tpinn.pallas.mlp_bundle import ns_residual_mse
+    from tpinn.pipeline import (
+        NSPhysics, ResidualBundle, mass_residual, momentum_residual,
+    )
+
+    model = MLP(2, 3, width=32, depth=3, seed=0, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 500.0]), np.array([0.0, 250.0]), np.array([-1e4, 1e4])
+    )
+    phys = NSPhysics(conv=1.0, visc=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (300, 2)), dtype=jnp.float64
+    )
+    w = jnp.asarray([10.0, 1.0, 1.0])
+
+    def xla_loss(p):
+        prev = model._bound
+        model._bound = p
+        b = ResidualBundle(model, x, use_pallas=False)
+        out = (
+            w[0] * jnp.mean(mass_residual(b, norm) ** 2)
+            + w[1] * jnp.mean(momentum_residual(b, 0, phys, norm) ** 2)
+            + w[2] * jnp.mean(momentum_residual(b, 1, phys, norm) ** 2)
+        )
+        model._bound = prev
+        return out
+
+    def pallas_loss(p):
+        return jnp.sum(
+            w * ns_residual_mse(p, x, phys, norm, np_tile=256, interpret=True)
+        )
+
+    np.testing.assert_allclose(
+        float(xla_loss(params)), float(pallas_loss(params)), rtol=1e-12
+    )
+    gx, _ = jax.flatten_util.ravel_pytree(jax.grad(xla_loss)(params))
+    gp, _ = jax.flatten_util.ravel_pytree(jax.grad(pallas_loss)(params))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gp), atol=1e-12,
+                               rtol=1e-9)
+
+
+def test_ns_residual_mse_rejects_unsteady_input():
+    from tpinn.geometry import Normalization
+    from tpinn.pallas.mlp_bundle import ns_residual_mse
+    from tpinn.pipeline import NSPhysics
+
+    model = MLP(3, 3, width=16, depth=2, seed=0, dtype=jnp.float32)
+    norm = Normalization(np.array([0.0, 1.0]), np.array([0.0, 1.0]),
+                         np.array([0.0, 1.0]))
+    x3 = jnp.zeros((64, 3), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="steady 2-D"):
+        ns_residual_mse(model.params, x3, NSPhysics(), norm, np_tile=64,
+                        interpret=True)

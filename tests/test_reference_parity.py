@@ -92,3 +92,18 @@ def test_reference_bpoints_flags():
     assert bp["INF"].shape[0] == 33
     assert bp["OUT1"].shape[0] == 33
     assert bp["OUT2"].shape[0] == 33
+
+
+@requires_reference
+def test_generated_bpoints_match_reference():
+    """generate_bpoints (subdomain marking re-implementation) reproduces the
+    reference's bpoints.npy exactly — same 800 points, same flags
+    (reference DataGeneration/coronary.py:24-66)."""
+    import numpy as np
+
+    from tpinn.oracles.coronary import generate_bpoints
+
+    ref = np.load("/root/reference/DataGeneration/data/SteadyCase/bpoints.npy")
+    mine = generate_bpoints("/root/reference/Examples/Coronary_Flow/coroParam.msh")
+    assert mine.shape == ref.shape == (800, 4)
+    assert set(map(tuple, mine)) == set(map(tuple, ref))

@@ -127,17 +127,35 @@ class StandardNSDriver:
 
             self.model.params = shd.replicate(self.model.params, mesh)
 
-    def _maybe_shard(self, arr):
+    def _maybe_shard(self, arr, pad: bool = False):
         """Point-axis data parallelism: place a point batch sharded over the
-        mesh when its length divides the device count (loss means then reduce
-        with XLA-inserted psums; see tpinn.sharding)."""
+        mesh (loss means then reduce with XLA-inserted psums; see
+        tpinn.sharding).
+
+        When the point count does not divide the device count: with
+        ``pad=True`` the batch is padded by repeating the last point (safe
+        for collocation batches — the PDE residual mean over a slightly
+        duplicated sample set is still a valid objective); otherwise the
+        batch stays unsharded and a warning is emitted (batches paired with
+        an rhs array must keep their exact length)."""
         if self.mesh is None:
             return arr
         n_dev = self.mesh.devices.size
-        if arr.shape[0] > 0 and arr.shape[0] % n_dev == 0:
-            from tpinn import sharding as shd
+        if arr.shape[0] == 0:
+            return arr
+        from tpinn import sharding as shd
 
+        if arr.shape[0] % n_dev == 0:
             return shd.shard_points(arr, self.mesh, pad=False)
+        if pad:
+            return shd.shard_points(arr, self.mesh, pad=True)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "point batch of %d does not divide mesh size %d; left UNSHARDED "
+            "(replicated) — pick a divisible point count for full data "
+            "parallelism", arr.shape[0], n_dev,
+        )
         return arr
 
     # ------------------------------------------------------------------ build
@@ -244,7 +262,8 @@ class StandardNSDriver:
         LMS = LossMeanSquares
 
         x_pde = self._maybe_shard(
-            jnp.take(self.dom_grid, jnp.asarray(self.idx_set["PDE"]), axis=0)
+            jnp.take(self.dom_grid, jnp.asarray(self.idx_set["PDE"]), axis=0),
+            pad=True,
         )
         pde_bundle = ResidualBundle(model, x_pde, unsteady=spec.unsteady)
 
@@ -387,7 +406,10 @@ class StandardNSDriver:
         """Stages 10–13: checkpoint, contour figure, loss plot, recap."""
         folder = self.folder
         assert folder is not None, "train() first"
-        ckpt.save_experiment(folder, self.model, self.pb.history)
+        ckpt.save_experiment(
+            folder, self.model, self.pb.history,
+            opt_state=self.pb.last_opt_state,
+        )
 
         gx, gy, u, v, p = self.predict_grid()
         if exact_grids is None and self.spec.exact is not None:
@@ -411,6 +433,8 @@ class StandardNSDriver:
                 problem_name=self.spec.name,
                 filename=os.path.join(folder, "Graphic.jpg"),
             )
+        if self.spec.unsteady and self.spec.exact_data is not None:
+            self.save_time_slices(folder)
         if loss_groups:
             viz.plot_loss_groups(
                 self.pb.history.to_dict(), loss_groups,
@@ -420,6 +444,48 @@ class StandardNSDriver:
             folder, self.spec.name, self.opts.epochs, self.opts.n_pts,
             noise_fit=self.opts.noise_fit, noise_bnd=self.opts.noise_bnd,
             echo=False,
+        )
+
+    def save_time_slices(self, folder, n_time_stamp: int = 4) -> None:
+        """Per-time-slice exact-vs-PINN contour figures for unsteady cases
+        (reference cavity_unsteady.py:275-357: n_time_stamp+1 slices at
+        t = linspace(0, T, 5), t = T clamped to the last stored step,
+        per-field levels shared across slices, exact pressure recentered)."""
+        spec = self.spec
+        T, dt = spec.time_horizon, spec.dt
+        n1, n2 = spec.grid_shape
+        n_xy = (n1 + 1) * (n2 + 1)
+        n_times = int(round(T / dt))
+        times = np.linspace(0.0, T, n_time_stamp + 1)
+
+        (lx, ux), (ly, uy) = spec.extents
+        gx, gy = np.meshgrid(
+            np.linspace(lx, ux, n1 + 1), np.linspace(ly, uy, n2 + 1)
+        )
+        flat = np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+
+        exact_slices = [[], [], []]
+        pinn_slices = [[], [], []]
+        norms = (self.norm.norm_vel, self.norm.norm_vel, self.norm.norm_pre)
+        for t in times:
+            t_eff = T - dt if t >= T else t
+            k = int(round(t_eff / dt))
+            pts = jnp.asarray(
+                np.concatenate([np.full((n_xy, 1), t_eff), flat], axis=1)
+            )
+            out = np.asarray(self.model(pts))
+            for comp in range(3):
+                ex = np.asarray(
+                    self.exact_fields[comp][k * n_xy : (k + 1) * n_xy]
+                ).reshape(n2 + 1, n1 + 1)
+                if comp == 2:
+                    ex = ex - ex.mean()  # reference recenters exact pressure
+                exact_slices[comp].append(ex)
+                pinn_slices[comp].append(
+                    out[:, comp].reshape(n2 + 1, n1 + 1) * norms[comp]
+                )
+        viz.contour_time_slices(
+            gx, gy, exact_slices, pinn_slices, times, n_times, folder
         )
 
     def final_test_losses(self) -> Dict[str, float]:

@@ -158,12 +158,11 @@ class Model:
         )
         x = jnp.asarray(raw, dtype=self.dtype)
         if tape is not None and not watched:
-            # The dtype cast above may have produced a new object; the
-            # reference always watches exactly the batch it evaluates, so
-            # match any watched tensor of the same shape.
-            watched = tape.is_watched(x) or any(
-                getattr(w, "shape", None) == x.shape for w in tape._watched
-            )
+            # The dtype cast above may have produced a new object; only an
+            # identity match against a watched tensor (or its canonicalized
+            # form recorded at watch time) counts — matching by shape would
+            # wrongly tape an unrelated same-shape batch.
+            watched = tape.is_watched(x)
         value = self.apply(params, x)
         if watched:
             fn = lambda xi: self.apply_single(params, xi)

@@ -93,12 +93,14 @@ def _minimize_first_order(pb, optimizer, num_epochs: int, round_name: str):
         return params, opt_state
 
     pb.history.start_round(round_name)
+    pb.last_round_name = round_name
     t0 = time.perf_counter()
     _log_point(pb, eval_fn, params, 0)
     done = 0
     for target in _log_iters(num_epochs, LOG_STRIDE)[1:]:
         params, opt_state = run_chunk(params, opt_state, target - done)
         done = target
+        pb.last_opt_state = opt_state
         _log_point(pb, eval_fn, params, done)
     pb.variables.set(params)
     pb.history.add_wall_time(time.perf_counter() - t0)
@@ -127,6 +129,8 @@ def _minimize_scipy(pb, method: str, num_epochs: int):
         return float(loss), np.asarray(g_flat, dtype=np.float64)
 
     pb.history.start_round(f"scipy_{method}")
+    pb.last_round_name = f"scipy_{method}"
+    pb.last_opt_state = None  # scipy keeps its quasi-Newton state host-side
     t0 = time.perf_counter()
     _log_point(pb, eval_fn, params, 0)
 
@@ -195,12 +199,14 @@ def _minimize_jax_lbfgs(pb, num_epochs: int, memory_size: int = 50):
         return params, opt_state
 
     pb.history.start_round("jax_L-BFGS")
+    pb.last_round_name = "jax_L-BFGS"
     t0 = time.perf_counter()
     _log_point(pb, eval_fn, params, 0)
     done = 0
     for target in _log_iters(num_epochs, LOG_STRIDE)[1:]:
         params, opt_state = run_chunk(params, opt_state, target - done)
         done = target
+        pb.last_opt_state = opt_state
         _log_point(pb, eval_fn, params, done)
     pb.variables.set(params)
     pb.history.add_wall_time(time.perf_counter() - t0)
@@ -237,8 +243,11 @@ def _wolfe_zoom_linesearch(f_1d, f0, g0, max_iters=30, c1=1e-4, c2=0.9):
         armijo = fa <= f0 + c1 * alpha * g0
         curv = jnp.abs(ga) <= c2 * jnp.abs(g0)
         ok = jnp.logical_and(armijo, curv)
-        # bracket update
+        # bracket update (Nocedal & Wright zoom): overshoot (Armijo fails)
+        # OR positive slope with Armijo both cap the bracket at alpha —
+        # without the latter the trial keeps doubling past the minimum.
         hi = jnp.where(jnp.logical_not(armijo), alpha, hi)
+        hi = jnp.where(jnp.logical_and(armijo, ga >= 0), alpha, hi)
         lo = jnp.where(jnp.logical_and(armijo, ga < 0), alpha, lo)
         new_alpha = jnp.where(
             jnp.isinf(hi), alpha * 2.0, 0.5 * (lo + hi)
@@ -311,12 +320,14 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
     carry = (x0, f0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
 
     pb.history.start_round("jax_BFGS")
+    pb.last_round_name = "jax_BFGS"
     t0 = time.perf_counter()
     _log_point(pb, eval_fn, params, 0)
     done = 0
     for target in _log_iters(num_epochs, LOG_STRIDE)[1:]:
         carry, _ = run_chunk(carry, target - done)
         done = target
+        pb.last_opt_state = carry
         _log_point(pb, eval_fn, unravel(carry[0]), done)
     params = unravel(carry[0])
     pb.variables.set(params)

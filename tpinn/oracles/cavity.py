@@ -163,7 +163,10 @@ def _step(state: MACState, *, re, lid, h, dt, upwind) -> MACState:
     rhs = _divergence(u_star, v_star, h) / dt
     phi = _solve_pressure(rhs, h, x0=phi_prev)
     u_new, v_new = _project(u_star, v_star, phi, h, dt)
-    p_new = p + phi
+    # Non-incremental Chorin: u_star carries NO pressure-gradient term, so
+    # phi is the full pressure at the new time level — not an increment.
+    # (Accumulating p + phi here made state.p grow linearly with step count.)
+    p_new = phi
     return MACState(u_new, v_new, p_new, phi)
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -56,6 +56,43 @@ def inflow_profile(x, prm: CoronaryParams = CoronaryParams()):
     return prm.cos_theta * mag, prm.sin_theta * mag
 
 
+def boundary_vertices(mesh) -> np.ndarray:
+    """Indices of vertices on the exterior boundary: vertices of triangle
+    edges that belong to exactly one triangle (the FD analog of dolfin's
+    BoundaryMesh(mesh, "exterior"), reference DataGeneration/coronary.py:53)."""
+    tris = mesh.triangles
+    edges = np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0
+    )
+    edges = np.sort(edges, axis=1)
+    uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    bnd_edges = uniq[counts == 1]
+    return np.unique(bnd_edges.reshape(-1))
+
+
+def generate_bpoints(msh_path: str, tol: float = 1e-14) -> np.ndarray:
+    """Labeled boundary-point array (N, 4): x, y, z, flag.
+
+    Re-implements the reference's SubDomain marking
+    (DataGeneration/coronary.py:24-66): flag 1 on the inflow line
+    y + 4x + 6.4 = 0, flag 2 on the outflow-1 line y + 2x − 4.8 = 0,
+    flag 3 on x = 1.2 with y < 0, flag 0 (no-slip wall) elsewhere.
+    """
+    mesh = read_gmsh(msh_path)
+    bidx = boundary_vertices(mesh)
+    pts = mesh.nodes[bidx]  # (N, 3)
+    x, y = pts[:, 0], pts[:, 1]
+    inflow = np.abs(y + 4.0 * x + 6.4) < tol
+    outflow1 = np.abs(y + 2.0 * x - 4.8) < tol
+    outflow2 = np.logical_and(np.abs(x - 1.2) < tol, y < 0)
+    marks = (
+        1 * inflow.astype(np.int64)
+        + 2 * outflow1.astype(np.int64)
+        + 3 * outflow2.astype(np.int64)
+    )
+    return np.hstack([pts, marks[:, None].astype(pts.dtype)])
+
+
 def match_boundary_nodes(
     nodes: np.ndarray, bpoints: Dict[str, np.ndarray], tol: float = 1e-8
 ) -> Dict[str, np.ndarray]:
@@ -74,15 +111,22 @@ def match_boundary_nodes(
 
 def solve_coronary(
     msh_path: str,
-    bpoints_path: str,
+    bpoints_path: Optional[str] = None,
     prm: CoronaryParams = CoronaryParams(),
     picard_iters: int = 30,
     verbose: bool = False,
 ):
-    """Solve steady NS on the coronary mesh; returns (nodes2d, u, v, p)."""
+    """Solve steady NS on the coronary mesh; returns (nodes2d, u, v, p).
+
+    ``bpoints_path`` is optional: when None the labeled boundary points are
+    derived from the mesh itself (generate_bpoints), making the L0 stage
+    self-contained."""
     mesh = read_gmsh(msh_path)
     nodes = mesh.nodes[:, :2]
-    bflags = io.load_bpoints(bpoints_path)
+    if bpoints_path is None:
+        bflags = io.bpoints_to_dict(generate_bpoints(msh_path))
+    else:
+        bflags = io.load_bpoints(bpoints_path)
     bidx = match_boundary_nodes(nodes, bflags)
 
     dirichlet: Dict[int, Tuple[float, float]] = {}
@@ -109,12 +153,14 @@ def solve_coronary(
 def generate_coronary(
     out_dir: str,
     msh_path: str,
-    bpoints_path: str,
+    bpoints_path: Optional[str] = None,
     prm: CoronaryParams = CoronaryParams(),
     verbose: bool = False,
 ) -> str:
-    """Write steady_coronary_steady.h5 (+ a copy of bpoints.npy) in the
-    reference layout (coronary_flow_steady.py:90-119,141)."""
+    """Write steady_coronary_steady.h5 + bpoints.npy in the reference layout
+    (coronary_flow_steady.py:90-119,141).  bpoints are derived from the mesh
+    (generate_bpoints) unless an explicit file is given — the L0 stage has no
+    reference-data dependency."""
     folder = os.path.join(out_dir, "SteadyCase")
     h5_path = os.path.join(folder, "steady_coronary_steady.h5")
     bp_out = os.path.join(folder, "bpoints.npy")
@@ -125,5 +171,9 @@ def generate_coronary(
     )
     io.write_fields_h5(h5_path, u, v, p, geometry=nodes)
     os.makedirs(folder, exist_ok=True)
-    np.save(bp_out, np.load(bpoints_path))
+    bp = (
+        np.load(bpoints_path) if bpoints_path is not None
+        else generate_bpoints(msh_path)
+    )
+    np.save(bp_out, bp)
     return folder

@@ -131,11 +131,15 @@ def write_xdmf(path, h5_filename, n_points: int, time: float = 0.0) -> None:
         f.write(xml)
 
 
-def load_bpoints(path) -> dict:
-    """Labeled boundary points {NOSL, INF, OUT1, OUT2} → (K_i, 2) arrays
+def bpoints_to_dict(arr: np.ndarray) -> dict:
+    """(K, 4) labeled array → {NOSL, INF, OUT1, OUT2} of (K_i, 2) arrays
     (reference coronary_flow_steady.py:141-146)."""
-    arr = np.load(path)
     flags = {"NOSL": 0, "INF": 1, "OUT1": 2, "OUT2": 3}
     return {
         name: arr[arr[:, 3] == flag][:, 0:2] for name, flag in flags.items()
     }
+
+
+def load_bpoints(path) -> dict:
+    """Labeled boundary points {NOSL, INF, OUT1, OUT2} → (K_i, 2) arrays."""
+    return bpoints_to_dict(np.load(path))

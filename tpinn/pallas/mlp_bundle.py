@@ -73,7 +73,7 @@ def _kernel(x_ref, *refs, dim: int, widths: Sequence[int], np_tile: int):
         b = b_refs[li][...]  # (1, out)
         z = jax.lax.dot_general(
             w, s, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )  # (out, S*NP)
         # bias on the value stream only
         zv = z[:, :NP] + b.T
@@ -142,7 +142,7 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
         for li in range(n_layers):
             z = jax.lax.dot_general(
                 ws[li], s, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=dtype,
             )
             zv = z[:, :chunk] + bs[li].T
             if li < n_layers - 1:
@@ -193,50 +193,212 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     out_ref[...] = out
 
 
-def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
-                    interpret: bool = False):
-    """(mse_mass, mse_u, mse_v) for the steady 2-D NS residual — one fused
-    Pallas kernel with an in-kernel chunk loop and reduction.  Forward-only
-    (no custom VJP yet): used by the benchmark and residual monitoring; the
-    training path keeps the XLA-fused jet graph."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
+                         chunk: int, n_chunks: int, phys: dict, n_total: int):
+    """Backward of the fused NS-residual MSEs w.r.t. the MLP parameters.
 
+    One pass per chunk: recompute the five Taylor streams layer by layer
+    (storing per-layer inputs + activation auxiliaries), form the residual
+    cotangents from the incoming (3,) MSE cotangents, and walk the layers in
+    reverse accumulating dW/db in the fori_loop carry.  Gradients w.r.t. the
+    collocation points are NOT produced (training never needs them).
+    """
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    n_layers = len(widths) - 1
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers : 2 * n_layers]
+    gbar_ref = refs[2 * n_layers]
+    out_refs = refs[2 * n_layers + 1 :]
+    dw_refs = out_refs[:n_layers]
+    db_refs = out_refs[n_layers:]
+
+    d_in = widths[0]
+    dtype = xt_ref.dtype
+    eye = jnp.eye(d_in, dtype=dtype)
+    nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
+    conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
+
+    ws = [w_refs[i][...] for i in range(n_layers)]
+    bs = [b_refs[i][...] for i in range(n_layers)]
+    gbar = gbar_ref[...]
+    g_cot = [gbar[0, j] for j in range(3)]  # mass, mom-u, mom-v cotangents
+
+    def body(c, carry):
+        xt = xt_ref[c]  # (d_in, CH)
+        streams = [xt]
+        for k in range(dim):
+            streams.append(jnp.broadcast_to(eye[:, k : k + 1], (d_in, chunk)))
+        for _ in range(dim):
+            streams.append(jnp.zeros((d_in, chunk), dtype=dtype))
+        s = jnp.concatenate(streams, axis=1)
+
+        s_list = [s]  # layer inputs
+        aux = []  # per hidden layer: (v, tp, gz list, hz list)
+        for li in range(n_layers):
+            z = jax.lax.dot_general(
+                ws[li], s_list[-1], (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )
+            zv = z[:, :chunk] + bs[li].T
+            if li < n_layers - 1:
+                v = jnp.tanh(zv)
+                tp = 1.0 - v * v
+                gz = [z[:, (1 + k) * chunk : (2 + k) * chunk]
+                      for k in range(dim)]
+                hz = [z[:, (1 + dim + k) * chunk : (2 + dim + k) * chunk]
+                      for k in range(dim)]
+                new = [v]
+                for k in range(dim):
+                    new.append(tp * gz[k])
+                for k in range(dim):
+                    new.append(-2.0 * v * tp * gz[k] * gz[k] + tp * hz[k])
+                aux.append((v, tp, gz, hz))
+                s_list.append(jnp.concatenate(new, axis=1))
+            else:
+                aux.append(None)
+                s_list.append(jnp.concatenate([zv, z[:, chunk:]], axis=1))
+
+        sL = s_list[-1]
+        val = sL[:, :chunk]
+        g0 = sL[:, chunk : 2 * chunk]
+        g1 = sL[:, 2 * chunk : 3 * chunk]
+        h0 = sL[:, 3 * chunk : 4 * chunk]
+        h1 = sL[:, 4 * chunk : 5 * chunk]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)[0]
+        valid = (lane + c * chunk) < n_total
+
+        # residuals (same as forward) and per-point cotangents c_* = ḡ·2r/n
+        two_over_n = jnp.asarray(2.0 / n_total, dtype=dtype)
+        r_mass = jnp.where(valid, g0[0] + g1[1], 0.0)
+        c_m = g_cot[0] * two_over_n * r_mass
+
+        zero = jnp.zeros((chunk,), dtype=dtype)
+        c_k = []
+        for k in (0, 1):
+            gk2 = g0[2] if k == 0 else g1[2]
+            inner = (
+                conv * nv * nv * (val[0] * g0[k] + val[1] * g1[k])
+                - visc * nv * (h0[k] + h1[k])
+                + pres * npre * gk2
+            )
+            r = jnp.where(valid, inner * scale, 0.0)
+            # d mse_k / d inner = (2 r / n) · scale
+            c_k.append(g_cot[1 + k] * two_over_n * r * scale)
+
+        cnv2 = conv * nv * nv
+        dval = jnp.stack(
+            [
+                c_k[0] * cnv2 * g0[0] + c_k[1] * cnv2 * g0[1],
+                c_k[0] * cnv2 * g1[0] + c_k[1] * cnv2 * g1[1],
+                zero,
+            ]
+        )
+        dg0 = jnp.stack(
+            [
+                c_k[0] * cnv2 * val[0] + c_m,
+                c_k[1] * cnv2 * val[0],
+                c_k[0] * (pres * npre),
+            ]
+        )
+        dg1 = jnp.stack(
+            [
+                c_k[0] * cnv2 * val[1],
+                c_k[1] * cnv2 * val[1] + c_m,
+                c_k[1] * (pres * npre),
+            ]
+        )
+        dh0 = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
+        dh1 = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
+
+        ds = jnp.concatenate([dval, dg0, dg1, dh0, dh1], axis=1)  # (3, 5CH)
+
+        dws = list(carry[:n_layers])
+        dbs = list(carry[n_layers:])
+        for li in range(n_layers - 1, -1, -1):
+            if li == n_layers - 1:
+                dz = ds
+            else:
+                v, tp, gz, hz = aux[li]
+                dv_ = ds[:, :chunk]
+                dG = [ds[:, (1 + k) * chunk : (2 + k) * chunk]
+                      for k in range(dim)]
+                dH = [ds[:, (1 + dim + k) * chunk : (2 + dim + k) * chunk]
+                      for k in range(dim)]
+                dz_v = dv_ * tp
+                for k in range(dim):
+                    dz_v = dz_v + dG[k] * (-2.0 * v * tp * gz[k])
+                    dz_v = dz_v + dH[k] * (
+                        -2.0 * tp * (tp - 2.0 * v * v) * gz[k] * gz[k]
+                        - 2.0 * v * tp * hz[k]
+                    )
+                dz_parts = [dz_v]
+                for k in range(dim):
+                    dz_parts.append(dG[k] * tp + dH[k] * (-4.0 * v * tp * gz[k]))
+                for k in range(dim):
+                    dz_parts.append(dH[k] * tp)
+                dz = jnp.concatenate(dz_parts, axis=1)
+            # bias feeds the value stream only
+            dbs[li] = dbs[li] + jnp.sum(dz[:, :chunk], axis=1)[None, :]
+            dws[li] = dws[li] + jax.lax.dot_general(
+                s_list[li], dz, (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+            )
+            ds = jax.lax.dot_general(
+                ws[li], dz, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )
+        return tuple(dws) + tuple(dbs)
+
+    init = tuple(
+        jnp.zeros((widths[i], widths[i + 1]), dtype=dtype)
+        for i in range(n_layers)
+    ) + tuple(
+        jnp.zeros((1, widths[i + 1]), dtype=dtype) for i in range(n_layers)
+    )
+    acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    for i in range(n_layers):
+        dw_refs[i][...] = acc[i]
+        db_refs[i][...] = acc[n_layers + i]
+
+
+def _prep_residual_args(params, x, chunk):
+    """Shared layout prep: pad, transpose to (n_chunks, d_in, chunk)."""
     x = jnp.asarray(x)
     n, d_in = x.shape
-    dim = d_in
+    if d_in != 2:
+        # the kernels hardcode the 5-stream steady-2D layout
+        # (val, g0, g1, h0, h1); a 3-column unsteady batch would silently
+        # misread g2 as h0.
+        raise ValueError(
+            f"ns_residual_mse supports steady 2-D input only (got d_in={d_in})"
+        )
     widths = [int(p["kernel"].shape[0]) for p in params] + [
         int(params[-1]["kernel"].shape[1])
     ]
     dtype = x.dtype
-    chunk = int(np_tile)
     n_pad = -(-n // chunk) * chunk
     if n_pad != n:
         x = jnp.concatenate(
             [x, jnp.zeros((n_pad - n, d_in), dtype=dtype)], axis=0
         )
-    # (n_chunks, d_in, chunk): points on lanes, chunk along the leading dim
-    xt = jnp.transpose(
-        x.reshape(n_pad // chunk, chunk, d_in), (0, 2, 1)
-    )
+    xt = jnp.transpose(x.reshape(n_pad // chunk, chunk, d_in), (0, 2, 1))
     w_args = [jnp.asarray(p["kernel"], dtype=dtype) for p in params]
     b_args = [jnp.asarray(p["bias"], dtype=dtype)[None, :] for p in params]
+    return xt, w_args, b_args, widths, n, dtype
 
-    phys = {
-        "nv": float(norm.norm_vel), "npre": float(norm.norm_pre),
-        "scale": float(norm.residual_scale),
-        "conv": float(physics.conv), "visc": float(physics.visc),
-        "pres": float(physics.pres),
-    }
+
+def _ns_mse_forward(params, x, phys, chunk, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    xt, w_args, b_args, widths, n, dtype = _prep_residual_args(params, x, chunk)
     kernel = functools.partial(
-        _residual_kernel, dim=dim, widths=widths, chunk=chunk,
-        n_chunks=n_pad // chunk, phys=phys, n_total=n,
+        _residual_kernel, dim=2, widths=widths, chunk=chunk,
+        n_chunks=xt.shape[0], phys=dict(phys), n_total=n,
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    for _ in w_args:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    for _ in b_args:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(w_args))
     acc = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -245,6 +407,86 @@ def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
         interpret=interpret,
     )(xt, *w_args, *b_args)
     return acc[0, :3] / n
+
+
+def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # The backward pass stores per-layer streams + activation auxiliaries for
+    # the whole chunk (~4.5 KB/point at width 32); cap the chunk so the
+    # working set stays inside the ~16 MB scoped VMEM budget.
+    chunk = min(chunk, 2048)
+    xt, w_args, b_args, widths, n, dtype = _prep_residual_args(params, x, chunk)
+    n_layers = len(w_args)
+    kernel = functools.partial(
+        _residual_bwd_kernel, dim=2, widths=widths, chunk=chunk,
+        n_chunks=xt.shape[0], phys=dict(phys), n_total=n,
+    )
+    gpad = jnp.zeros((8, 128), dtype=dtype).at[0, :3].set(
+        jnp.asarray(gbar, dtype=dtype)
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + 2 * n_layers)
+    out_shape = [
+        jax.ShapeDtypeStruct((widths[i], widths[i + 1]), dtype)
+        for i in range(n_layers)
+    ] + [
+        jax.ShapeDtypeStruct((1, widths[i + 1]), dtype)
+        for i in range(n_layers)
+    ]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xt, *w_args, *b_args, gpad)
+    dparams = [
+        {"kernel": outs[i], "bias": outs[n_layers + i][0]}
+        for i in range(n_layers)
+    ]
+    return dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _ns_mse_prim(params, x, phys_items, chunk, interpret):
+    return _ns_mse_forward(params, x, dict(phys_items), chunk, interpret)
+
+
+def _ns_mse_fwd(params, x, phys_items, chunk, interpret):
+    out = _ns_mse_forward(params, x, dict(phys_items), chunk, interpret)
+    return out, (params, x)
+
+
+def _ns_mse_bwd(phys_items, chunk, interpret, res, gbar):
+    params, x = res
+    dparams = _ns_mse_backward(
+        params, x, gbar, dict(phys_items), chunk, interpret
+    )
+    # no gradient w.r.t. the collocation points (never needed in training;
+    # a zero cotangent keeps custom_vjp's signature satisfied)
+    return dparams, jnp.zeros_like(jnp.asarray(x))
+
+
+_ns_mse_prim.defvjp(_ns_mse_fwd, _ns_mse_bwd)
+
+
+def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
+                    interpret: bool = False):
+    """(mse_mass, mse_u, mse_v) for the steady 2-D NS residual — one fused
+    Pallas kernel with an in-kernel chunk loop and reduction, differentiable
+    w.r.t. ``params`` via a hand-written backward kernel (recompute-based:
+    the bwd pass re-propagates the Taylor streams and accumulates dW/db per
+    chunk).  Gradients w.r.t. ``x`` are defined as zero — training never
+    differentiates the loss w.r.t. collocation points."""
+    phys_items = (
+        ("nv", float(norm.norm_vel)), ("npre", float(norm.norm_pre)),
+        ("scale", float(norm.residual_scale)),
+        ("conv", float(physics.conv)), ("visc", float(physics.visc)),
+        ("pres", float(physics.pres)),
+    )
+    return _ns_mse_prim(params, x, phys_items, int(np_tile), bool(interpret))
 
 
 def mlp_taylor_bundle(

@@ -47,6 +47,12 @@ class OptimizationProblem:
         # jit caches populated by tpinn.optimize
         self._value_and_grad_fn = None
         self._eval_fn = None
+        # Live optimizer state of the current/most-recent round, published by
+        # tpinn.optimize at every log point so checkpoints can capture it for
+        # exact resume (None during/after scipy rounds — scipy keeps its
+        # quasi-Newton state host-side and does not expose it).
+        self.last_opt_state = None
+        self.last_round_name: Optional[str] = None
 
     # -- pure functional views (built once, reused by every optimizer round) --
     def loss_fn(self, params):

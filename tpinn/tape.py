@@ -117,7 +117,10 @@ class TapedArray:
         if isinstance(other, TapedArray):
             value = op(self.value, other.value)
             fn = None
-            if self.fn is not None and other.fn is not None:
+            # Composing per-point functions is only valid when both arrays
+            # derive from the SAME input batch; otherwise sever fn (the
+            # result has no single-x functional form).
+            if self.fn is not None and other.fn is not None and self.x is other.x:
                 f, g = self.fn, other.fn
                 fn = lambda xi: op(f(xi), g(xi))
             return TapedArray(value, fn, self.x)

@@ -114,9 +114,11 @@ class CheckpointCallback:
         save_checkpoint(
             self.path,
             pb.variables.get(),
+            opt_state=pb.last_opt_state,
             extra={
                 "iteration": iteration,
                 "rounds": list(pb.history.round_names),
+                "round_name": pb.last_round_name,
             },
         )
 

@@ -126,6 +126,86 @@ def tricontour_compare(
     return fig
 
 
+def scatter3d_compare(
+    x,
+    y,
+    exact,
+    pinn,
+    filename: Optional[str] = None,
+    labels=("exact solution", "numerical solution"),
+):
+    """3-D scatter of exact vs PINN values over test points
+    (reference poisson.py:85-91)."""
+    plt = _plt()
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(np.asarray(x), np.asarray(y), np.asarray(exact), label=labels[0])
+    ax.scatter(np.asarray(x), np.asarray(y), np.asarray(pinn), label=labels[1])
+    ax.legend()
+    if filename:
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig
+
+
+def contour_time_slices(
+    grid_x,
+    grid_y,
+    exact_slices,
+    pinn_slices,
+    times,
+    n_times: int,
+    folder,
+    titles: Sequence[str] = ("u-velocity", "v-velocity", "Pressure"),
+    num_levels: int = 11,
+):
+    """Per-time-slice exact-vs-PINN contour figures with per-field levels
+    shared ACROSS all slices (reference cavity_unsteady.py:275-357; files
+    ``Graphic_{i+1}_of_{n}.jpg``).
+
+    ``exact_slices``/``pinn_slices``: per-field lists of per-slice 2-D arrays
+    ``[[u_t0, u_t1, ...], [v_t0, ...], [p_t0, ...]]``.
+    """
+    plt = _plt()
+    n_stamps = len(times)
+    levels = []
+    for ex_list, pinn_list in zip(exact_slices, pinn_slices):
+        lo = min(min(np.min(e), np.min(p)) for e, p in zip(ex_list, pinn_list))
+        hi = max(max(np.max(e), np.max(p)) for e, p in zip(ex_list, pinn_list))
+        lo, hi = approx_scale(lo, False), approx_scale(hi, True)
+        if lo == hi:
+            lo, hi = lo - 1e-12, hi + 1e-12
+        levels.append(np.linspace(lo, hi, num_levels))
+
+    paths = []
+    for i, t in enumerate(times):
+        title = "Solutions when t = {0:.4f}".format(t)
+        title += ", time step #{}/{}".format(
+            int(i * (n_times / max(n_stamps - 1, 1))), n_times
+        )
+        fig, axes = plt.subplots(3, 2, figsize=(12, 8))
+        fig.suptitle(title, fontsize=18, y=0.97, x=0.50)
+        for row, name in enumerate(titles):
+            for col, (field, label) in enumerate(
+                [
+                    (exact_slices[row][i], f"Numerical {name}"),
+                    (pinn_slices[row][i], f"PINNS {name}"),
+                ]
+            ):
+                ax = axes[row][col]
+                ax.title.set_text(label)
+                cs = ax.contourf(grid_x, grid_y, field, levels=levels[row])
+                fig.colorbar(cs, ax=ax)
+        plt.tight_layout()
+        import os
+
+        path = os.path.join(folder, f"Graphic_{i + 1}_of_{n_stamps}.jpg")
+        fig.savefig(path)
+        plt.close(fig)
+        paths.append(path)
+    return paths
+
+
 def plot_loss_groups(
     history: dict,
     groups: Dict[str, List[str]],
