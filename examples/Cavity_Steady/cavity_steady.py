@@ -12,6 +12,12 @@ Physics note: the momentum residual here uses the correct sign
 replicate.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (reference import sandwich)
+
 import argparse
 import os
 
@@ -69,7 +75,7 @@ def default_options() -> SimulationOptions:
 
 
 def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
-         seed=0, n_solver=128, load_from=None):
+         seed=0, n_solver=128, load_from=None, resume_from=None):
     cwd = base_dir or os.path.dirname(os.path.abspath(__file__))
     opts_file = os.path.join(cwd, "simulation_options.txt")
     opts = (SimulationOptions.from_file(opts_file)
@@ -93,7 +99,7 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         if history is not None:
             driver.pb.history = history
     else:
-        driver.train()
+        driver.train(resume_from=resume_from)
 
     # exact fields on the plotting grid, from the cached oracle csv
     csv = io.read_regular_csv(
@@ -115,13 +121,16 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "none"])
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "adam", "none"])
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", default=None, metavar="FOLDER",
+                    help="resume: load Weights.h5+history from FOLDER, run only the second round")
     ap.add_argument("--n-solver", type=int, default=128)
     ap.add_argument("--load", default=None, metavar="FOLDER",
                     help="reload a saved experiment and skip training")
     args = ap.parse_args()
     main(args.epochs, save_results=not args.scratch,
          second_round=args.second_round, seed=args.seed,
-         n_solver=args.n_solver, load_from=args.load)
+         n_solver=args.n_solver, load_from=args.load,
+         resume_from=args.resume)

@@ -6,6 +6,12 @@ Demonstrates the generic ``ns.Loss`` with ``non_negative=True`` and the
 the nisaba-compatible tape style.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (reference import sandwich)
+
 import argparse
 import os
 
@@ -26,7 +32,8 @@ def main(epochs: int = 5000, out_dir: str = None, second_round: str = "scipy",
     num_PDE, num_BCD, num_col, num_pres = 1000, 400, 5, 50
 
     ks = jax.random.split(jax.random.PRNGKey(1), 10)
-    model = ns.models.MLP(2, 3, width=32, depth=3, seed=1)
+    model = ns.models.MLP(2, 3, width=32, depth=3, seed=1,
+                          input_extents=[(-1.0, 1.0), (-1.0, 1.0)])
 
     x_PDE = sample_box(ks[0], num_PDE, [-1, -1], [1, 1])
     x_BCD = jnp.concatenate(

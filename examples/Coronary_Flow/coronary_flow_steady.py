@@ -15,6 +15,12 @@ P1-FEM solver on the same mesh.  Demonstrates the lower-level pipeline API
   comparison figures (:363-383).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (reference import sandwich)
+
 import argparse
 import os
 import shutil
@@ -123,8 +129,14 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         jnp.take(sol_norm[1], iv) + generate_noise(kf[1], len(iv), opts.noise_fit),
     ]
 
-    # ----- model + losses
-    model = ns.models.MLP(2, 3, width=32, depth=3, seed=seed)
+    # ----- model + losses (mesh bounding box folds input normalization
+    # into the layer-0 init, see tpinn.models.Model.init)
+    dg = np.asarray(dom_grid)
+    model = ns.models.MLP(
+        2, 3, width=32, depth=3, seed=seed,
+        input_extents=[(dg[:, 0].min(), dg[:, 0].max()),
+                       (dg[:, 1].min(), dg[:, 1].max())],
+    )
     physics = NSPhysics(conv=1.0, visc=PRM.ni)
 
     x_pde = jnp.take(dom_grid, jnp.asarray(idx_set["PDE"]), axis=0)

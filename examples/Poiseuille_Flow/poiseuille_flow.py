@@ -6,6 +6,12 @@ driven by a 1e6 Pa pressure drop: Dirichlet walls + inflow profile, Neumann
 (traction) outflow, optional noisy velocity-fitting points.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (reference import sandwich)
+
 import argparse
 import os
 
@@ -55,7 +61,7 @@ def default_options() -> SimulationOptions:
 
 
 def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
-         seed=0):
+         seed=0, resume_from=None):
     cwd = base_dir or os.path.dirname(os.path.abspath(__file__))
     opts_file = os.path.join(cwd, "simulation_options.txt")
     opts = (SimulationOptions.from_file(opts_file)
@@ -67,7 +73,7 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         build_spec(), opts, base_dir=cwd, save_results=save_results,
         seed=seed, second_round=second_round,
     )
-    driver.train()
+    driver.train(resume_from=resume_from)
     driver.save_artifacts(loss_groups=LOSS_GROUPS)
     print("final test losses:", driver.final_test_losses())
     return driver
@@ -76,10 +82,13 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "none"])
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "adam", "none"])
     ap.add_argument("--scratch", action="store_true",
                     help="write into Last_Training instead of Test_Case_#NNN")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", default=None, metavar="FOLDER",
+                    help="resume: load Weights.h5+history from FOLDER, run only the second round")
     args = ap.parse_args()
     main(args.epochs, save_results=not args.scratch,
-         second_round=args.second_round, seed=args.seed)
+         second_round=args.second_round, seed=args.seed,
+         resume_from=args.resume)

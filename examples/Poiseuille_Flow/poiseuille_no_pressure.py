@@ -7,6 +7,12 @@ Demonstrates non-(u,v,p) output heads and the old API's ``create_rhs``
 pattern (Examples_Old/Poiseuille/poiseuille.py:86-95).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (reference import sandwich)
+
 import argparse
 import os
 
@@ -40,7 +46,8 @@ def main(epochs: int = 3000, out_dir: str = None, second_round: str = "jax"):
     num_PDE, num_BC, num_test = 800, 50, 1000
 
     ks = jax.random.split(jax.random.PRNGKey(2), 10)
-    model = ns.models.MLP(2, 2, width=32, depth=3, seed=2)
+    model = ns.models.MLP(2, 2, width=32, depth=3, seed=2,
+                          input_extents=[(0.0, 1.0), (0.0, 0.1)])
 
     (lx, ux), (ly, uy) = extents
     x_PDE = sample_box(ks[0], num_PDE, [lx, ly], [ux, uy])

@@ -9,6 +9,12 @@ demonstrate API parity; the tape-based loss closures compile to a single
 fused XLA graph per training step.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (reference import sandwich)
+
 import argparse
 import os
 import sys
@@ -33,7 +39,8 @@ def main(epochs: int = 500, save_plots: bool = True, out_dir: str = None,
 
     # seeded sampling for reproducibility (reference poisson.py:37-38)
     ks = jax.random.split(jax.random.PRNGKey(1), 8)
-    model = ns.models.MLP(2, 1, width=20, depth=3, seed=1)
+    model = ns.models.MLP(2, 1, width=20, depth=3, seed=1,
+                          input_extents=[(0.0, W), (0.0, W)])
 
     x_PDE = sample_box(ks[0], num_PDE, [0, 0], [W, W])
     x_BC = jnp.concatenate(

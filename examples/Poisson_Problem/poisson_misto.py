@@ -8,6 +8,12 @@
 Weights PDE=1e2 and a long L-BFGS round per the reference (:83, :93).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (reference import sandwich)
+
 import argparse
 import os
 
@@ -29,7 +35,8 @@ def main(epochs: int = 7500, save_plots: bool = True, out_dir: str = None,
     num_PDE, num_BC, num_test = 200, 20, 1000
 
     ks = jax.random.split(jax.random.PRNGKey(1), 8)
-    model = ns.models.MLP(2, 1, width=20, depth=3, seed=1)
+    model = ns.models.MLP(2, 1, width=20, depth=3, seed=1,
+                          input_extents=[(0.0, W), (0.0, W)])
 
     x_PDE = sample_box(ks[0], num_PDE, [0, 0], [W, W])
     x_BC_D = jnp.concatenate(

@@ -138,3 +138,62 @@ def test_driver_end_to_end_tiny():
         assert os.path.basename(folder) == "Test_Case_#001"
         losses = driver.final_test_losses()
         assert set(losses) == {"u_test", "v_test", "p_test"}
+
+
+def test_driver_fused_pallas_pde_losses_match_xla(monkeypatch):
+    """TPINN_USE_PALLAS=1 routes the PDE losses through the fused kernel
+    (interpret mode off-TPU); loss values must match the XLA jet path."""
+    prm = analytic.PoiseuilleParams()
+
+    def build(env):
+        if env is None:
+            monkeypatch.delenv("TPINN_USE_PALLAS", raising=False)
+        else:
+            monkeypatch.setenv("TPINN_USE_PALLAS", env)
+        spec = CaseSpec(
+            name="Poiseuille_Fused",
+            extents=[(0.0, 1.0), (0.0, 0.1)],
+            grid_shape=(10, 6),
+            physics=NSPhysics(conv=prm.rho, visc=prm.mu),
+            exact=(
+                lambda x: analytic.poiseuille_u(x, prm),
+                lambda x: analytic.poiseuille_v(x, prm),
+                lambda x: analytic.poiseuille_p(x, prm),
+            ),
+            bnd_val={
+                0: {"BOT": 0.0, "TOP": 0.0},
+                1: {"BOT": 0.0, "TOP": 0.0},
+            },
+        )
+        opts = SimulationOptions(
+            epochs=0, n_pde=32, n_bc=8, n_vel=4, n_pres=0, n_test=16
+        )
+        return StandardNSDriver(
+            spec, opts, base_dir=".", save_results=False, seed=0,
+            second_round="none",
+        )
+
+    from tpinn.losses import PrecomputedMeanSquares
+
+    drv_fused = build("1")
+    assert isinstance(drv_fused.losses[0], PrecomputedMeanSquares)
+    drv_xla = build("0")
+    assert not isinstance(drv_xla.losses[0], PrecomputedMeanSquares)
+
+    params = drv_xla.model.params
+    drv_fused.model.params = params  # same weights
+    for lf, lx in zip(drv_fused.losses[:3], drv_xla.losses[:3]):
+        assert lf.name == lx.name
+        np.testing.assert_allclose(
+            float(lf.raw_value()), float(lx.raw_value()), rtol=1e-10
+        )
+    # gradients of the global loss agree too (exercises the custom VJP
+    # through the OptimizationProblem loss_fn path)
+    from tpinn.problem import OptimizationProblem
+
+    pb_f = OptimizationProblem(drv_fused.model.variables, drv_fused.losses)
+    pb_x = OptimizationProblem(drv_xla.model.variables, drv_xla.losses)
+    gf, _ = jax.flatten_util.ravel_pytree(jax.grad(pb_f.loss_fn)(params))
+    gx, _ = jax.flatten_util.ravel_pytree(jax.grad(pb_x.loss_fn)(params))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-12,
+                               rtol=1e-7)

@@ -81,3 +81,19 @@ class LossMeanSquares(Loss):
         r = as_value(self.fn())
         r = jnp.asarray(r) / self.normalization
         return jnp.mean(jnp.square(r))
+
+
+class PrecomputedMeanSquares(Loss):
+    """A mean-of-squares loss whose ``fn`` already returns the MSE scalar.
+
+    Used by fused residual evaluators (tpinn.pallas.ns_residual_mse computes
+    all three PDE MSEs in one kernel); keeps LossMeanSquares history metadata
+    (display_sqrt) so History_Loss.json stays schema-identical."""
+
+    display_sqrt = True
+
+    def __init__(self, name: str, fn: Callable[[], object], weight: float = 1.0):
+        super().__init__(name, fn, weight=weight, non_negative=True)
+
+    def raw_value(self):
+        return jnp.asarray(as_value(self.fn()))

@@ -227,11 +227,24 @@ def _minimize_jax_lbfgs(pb, num_epochs: int, memory_size: int = 50):
 
 
 def _wolfe_zoom_linesearch(f_1d, f0, g0, max_iters=30, c1=1e-4, c2=0.9):
-    """Strong-Wolfe line search on φ(a) = f(x + a d).
+    """Strong-Wolfe line search on φ(a) = f(x + a d), with Hager–Zhang
+    approximate-Wolfe acceptance for float32 robustness.
 
     f_1d(a) -> (φ(a), φ'(a)).  Bracketing + bisection zoom, fully jittable.
     Returns (alpha, φ(alpha)).
+
+    Float32 failure mode (observed on TPU, round 2): once the achievable
+    per-step decrease falls below the absolute resolution of φ
+    (≈ eps·|φ|), the Armijo comparison can never certify progress and the
+    search collapses to alpha = 0 forever.  Gradients have far better
+    signal-to-noise there, so steps are ALSO accepted under the
+    approximate Wolfe conditions (Hager & Zhang 2005, CG_DESCENT):
+
+        φ(a) ≤ φ(0) + ε|φ(0)|   and   (2c1−1)φ'(0) ≥ φ'(a) ≥ c2 φ'(0)
+
+    which certify decrease through φ' alone, up to an ε-band of f-noise.
     """
+    eps_rel = 10.0 * jnp.finfo(jnp.asarray(f0).dtype).eps
 
     def cond(state):
         it, done, *_ = state
@@ -243,6 +256,14 @@ def _wolfe_zoom_linesearch(f_1d, f0, g0, max_iters=30, c1=1e-4, c2=0.9):
         armijo = fa <= f0 + c1 * alpha * g0
         curv = jnp.abs(ga) <= c2 * jnp.abs(g0)
         ok = jnp.logical_and(armijo, curv)
+        # approximate-Wolfe acceptance (derivative-based decrease check;
+        # Hager–Zhang use δ=0.1, σ=c2=0.9)
+        delta = 0.1
+        approx = jnp.logical_and(
+            fa <= f0 + eps_rel * jnp.abs(f0),
+            jnp.logical_and(ga >= c2 * g0, ga <= (2.0 * delta - 1.0) * g0),
+        )
+        ok = jnp.logical_or(ok, approx)
         # bracket update (Nocedal & Wright zoom): overshoot (Armijo fails)
         # OR positive slope with Armijo both cap the bracket at alpha —
         # without the latter the trial keeps doubling past the minimum.
@@ -295,7 +316,12 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
         s = x_new - x
         y = g_new - g
         ys = jnp.dot(y, s)
-        safe = ys > 1e-12 * jnp.linalg.norm(y) * jnp.linalg.norm(s)
+        # Curvature-update guard, dtype-scaled: in float32 a tiny-alpha step
+        # makes y pure AD noise — folding it into H corrupts the inverse
+        # Hessian (observed: noise-rho rank-2 updates preceded the TPU
+        # stall).  sqrt(eps) margin rejects noise-dominated pairs.
+        eps = jnp.finfo(dtype).eps
+        safe = ys > 0.1 * jnp.sqrt(eps) * jnp.linalg.norm(y) * jnp.linalg.norm(s)
         rho = jnp.where(safe, 1.0 / jnp.where(safe, ys, 1.0), 0.0)
         # scale H on the first successful update (Nocedal & Wright eq. 6.20)
         gamma = jnp.where(
@@ -304,12 +330,26 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
             1.0,
         )
         H_eff = H * gamma
-        I = jnp.eye(n, dtype=dtype)
-        V = I - rho * jnp.outer(s, y)
-        H_new = jnp.where(
-            safe, V @ H_eff @ V.T + rho * jnp.outer(s, s), H_eff
+        # O(n²) expansion of V H Vᵀ + ρssᵀ with V = I − ρsyᵀ (H symmetric):
+        #   H − ρ s(Hy)ᵀ − ρ (Hy)sᵀ + (ρ²·yᵀHy + ρ)·ssᵀ
+        # (the naive V @ H @ Vᵀ costs two n³ matmuls — 100× slower at n≈2k)
+        Hy = H_eff @ y
+        yHy = jnp.dot(y, Hy)
+        H_upd = (
+            H_eff
+            - rho * (jnp.outer(s, Hy) + jnp.outer(Hy, s))
+            + (rho * rho * yHy + rho) * jnp.outer(s, s)
         )
-        first_new = jnp.logical_and(first, jnp.logical_not(safe))
+        I = jnp.eye(n, dtype=dtype)
+        H_new = jnp.where(safe, H_upd, H_eff)
+        # total line-search failure (alpha = 0): H is unusable along its own
+        # directions — reset to identity and re-enter the first-update
+        # scaling regime instead of freezing forever
+        failed = alpha == 0.0
+        H_new = jnp.where(failed, I, H_new)
+        first_new = jnp.logical_or(
+            jnp.logical_and(first, jnp.logical_not(safe)), failed
+        )
         return (x_new, f_new, g_new, H_new, first_new), f_new
 
     @functools.partial(jax.jit, static_argnums=1)

@@ -106,6 +106,79 @@ class ResidualBundle:
         return value, jac, hdiag
 
 
+class FusedNSResidualMSEs:
+    """All three steady-2D PDE MSEs (mass, mom-u, mom-v) in ONE fused Pallas
+    kernel with a hand-written backward kernel (tpinn.pallas.ns_residual_mse).
+
+    Measured on TPU v5e (bench.py, round 2): the fused train step runs ~1.7×
+    faster than the XLA jet path, so this is the default PDE-loss evaluator
+    for plain steady-2D tanh-MLP cases on TPU.
+
+    The three per-loss closures share one kernel call per trace via an
+    identity-keyed memo: loss closures are invoked with the same bound
+    parameter pytree within a trace, so the first call computes and the other
+    two reuse (XLA cannot be relied on to CSE custom calls).
+    """
+
+    def __init__(self, model: Model, x, physics: "NSPhysics",
+                 norm: Normalization, np_tile: int = 4096):
+        self.model = model
+        self.x = x
+        self.physics = physics
+        self.norm = norm
+        self.np_tile = np_tile
+        self._memo = None  # (params_leaf_ref, mses)
+
+    def mses(self):
+        import jax
+
+        from tpinn.pallas import ns_residual_mse
+
+        params = self.model.current_params
+        leaf = params[0]["kernel"]
+        if self._memo is not None and self._memo[0] is leaf:
+            return self._memo[1]
+        m = ns_residual_mse(
+            params, self.x, self.physics, self.norm, np_tile=self.np_tile,
+            interpret=jax.default_backend() != "tpu",
+        )
+        self._memo = (leaf, m)
+        return m
+
+    def loss_fns(self):
+        """(mass_fn, momu_fn, momv_fn) closures returning precomputed MSEs."""
+        return (
+            lambda: self.mses()[0],
+            lambda: self.mses()[1],
+            lambda: self.mses()[2],
+        )
+
+
+def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
+                         mesh=None) -> bool:
+    """Default policy for routing the PDE losses through the fused Pallas
+    kernel: steady 2-D, plain tanh MLP, single-chip (the single-instance
+    kernel does not partition over a mesh), TPU backend (or forced via
+    TPINN_USE_PALLAS=1); TPINN_USE_PALLAS=0 disables."""
+    import os
+
+    import jax
+
+    env = os.environ.get("TPINN_USE_PALLAS")
+    if env is not None and env in ("0", "false", "False"):
+        return False
+    plain = (
+        type(model).apply_single is Model.apply_single
+        and model.activation_name == "tanh"
+    )
+    eligible = (not spec_unsteady) and dim_in == 2 and mesh is None and plain
+    if not eligible:
+        return False
+    if env is not None:  # forced on (tests use interpret-mode-capable CPU)
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def mass_residual(bundle: ResidualBundle, norm: Normalization):
     """∇·U (physical units are irrelevant: scaled by norm_vel uniformly)."""
     _, jac, _ = bundle.compute()
