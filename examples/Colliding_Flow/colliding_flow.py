@@ -32,7 +32,15 @@ def build_spec() -> CaseSpec:
         name="Colliding_Flow",
         extents=[(-1.0, 1.0), (-1.0, 1.0)],
         grid_shape=(100, 100),
-        physics=NSPhysics(conv=1.0, visc=1.0),
+        # The reference's convection term multiplies the NORMALIZED velocity
+        # by the physical gradient (colliding_flow.py:181 `u_vect[:,0]*deqx`,
+        # no norm_vel factor), i.e. an effective convection coefficient of
+        # 1/norm_vel = 1/40 (u spread 40 on this grid).  The exact solution
+        # is Stokes, so the size of this (inconsistent) convection term sets
+        # how much the learned pressure is distorted away from the analytic
+        # one — with full convection p_test lands ~1e-2, with the
+        # reference's 1/40 it reaches the reference's ~2e-4 class.
+        physics=NSPhysics(conv=1.0 / 40.0, visc=1.0),
         exact=(u_f, v_f, p_f),
         bnd_val={
             0: {"BOT": u_f, "DX": u_f, "TOP": u_f, "SX": u_f},

@@ -19,7 +19,7 @@ sys.path.insert(0, ROOT)
 
 CASES = [
     # (name, module path, epochs at scale 1.0, reference final test losses)
-    ("Poisson", "examples/Poisson_Problem/poisson.py", 500,
+    ("Poisson", "examples/Poisson_Problem/poisson.py", 10000,
      {"fit": "~1e-7 (report, 10k ep)"}),
     ("Poisson_misto", "examples/Poisson_Problem/poisson_misto.py", 7500,
      {"fit": "~1e-7 (report)"}),

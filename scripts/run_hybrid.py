@@ -36,6 +36,7 @@ CASES = {
     "Colliding_Flow": ("examples/Colliding_Flow/colliding_flow.py", 20000, 10000),
     "Cavity_Steady": ("examples/Cavity_Steady/cavity_steady.py", 20000, 10000),
     "Cavity_Unsteady": ("examples/Cavity_Unsteady/cavity_unsteady.py", 10000, 5000),
+    "Coronary_Flow": ("examples/Coronary_Flow/coronary_flow_steady.py", 20000, 30000),
 }
 
 REFERENCE = {
@@ -43,6 +44,7 @@ REFERENCE = {
     "Colliding_Flow": "2.05e-7 / 4.02e-7 / 2.25e-4",
     "Cavity_Steady": "5.01e-5 / 3.46e-4 / 6.90e-4",
     "Cavity_Unsteady": "~1e-3 (report)",
+    "Coronary_Flow": "6.73e-5 / 6.47e-5 / 1.34e-5",
 }
 
 
