@@ -83,7 +83,7 @@ def default_options() -> SimulationOptions:
 
 
 def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
-         seed=0):
+         seed=0, resume_from=None):
     cwd = base_dir or HERE
     msh_path, bpts_path = _asset_paths(cwd)
     opts_file = os.path.join(cwd, "simulation_options.txt")
@@ -174,21 +174,39 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         LMS("p_test", lambda: dirichlet_residual(model, x_test, 2, jnp.take(sol_norm[2], it))),
     ]
 
-    # ----- train
-    folder = experiment.prepare_folder(cwd, save_results)
+    # ----- train (resume_from: hybrid stage B — reload weights+history,
+    # skip Adam, run only the second round; see tpinn.driver.train)
+    if resume_from is not None:
+        folder = resume_from
+    else:
+        folder = experiment.prepare_folder(cwd, save_results)
     pb = ns.OptimizationProblem(model.variables, losses, losses_test, callbacks=[])
+    if resume_from is not None:
+        from tpinn.history import History
+
+        model.load_weights(os.path.join(resume_from, "Weights.h5"))
+        hist_path = os.path.join(resume_from, "History_Loss.json")
+        if os.path.exists(hist_path):
+            pb.history = History.load(hist_path)
+            pb.history.register_losses(losses, losses_test)
     pb.callbacks.append(ns.utils.HistoryPlotCallback(
         frequency=100, gui=False,
         filename=os.path.join(folder, "Loss_Trend_Full.png"),
         filename_history=os.path.join(folder, "History_Loss.json"),
     ))
-    ns.minimize(pb, "keras", ns.optimizers.Adam(learning_rate=1e-2), num_epochs=100)
+    if resume_from is None:
+        ns.minimize(pb, "keras", ns.optimizers.Adam(learning_rate=1e-2), num_epochs=100)
     if second_round == "scipy":
         ns.minimize(pb, "scipy", "BFGS", num_epochs=opts.epochs)
     elif second_round == "jax":
         ns.minimize(pb, "jax", "L-BFGS", num_epochs=opts.epochs)
     elif second_round in ("jax-bfgs", "bfgs"):
         ns.minimize(pb, "jax", "BFGS", num_epochs=opts.epochs)
+    elif second_round == "adam":
+        import optax
+
+        sched = optax.cosine_decay_schedule(1e-2, max(opts.epochs, 1), alpha=1e-3)
+        ns.minimize(pb, "keras", optax.adam(sched), num_epochs=opts.epochs)
 
     # ----- artifacts
     ns.checkpoint.save_experiment(folder, model, pb.history)
@@ -221,9 +239,11 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "none"])
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "adam", "none"])
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", default=None, metavar="FOLDER")
     args = ap.parse_args()
     main(args.epochs, save_results=not args.scratch,
-         second_round=args.second_round, seed=args.seed)
+         second_round=args.second_round, seed=args.seed,
+         resume_from=args.resume)

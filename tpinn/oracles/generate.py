@@ -85,6 +85,26 @@ def generate_cavity_unsteady(
         nu=nu, lid_velocity=U, t_end=T, dt_out=dt, n=n
     )
     io.write_unsteady_series_h5(folder, snaps)
+    # concatenated regular-grid csv with a leading t column (reference
+    # fluid_solver_unsteady.py:71-84 writes ..._r.csv consumed by the
+    # driver's per-time-slice post-processing)
+    xs = np.linspace(0, 1, 100)
+    xg = np.array([x for y in xs for x in xs])
+    yg = np.array([y for y in xs for x in xs])
+    cols_t, cols_x, cols_y, cols_u, cols_v, cols_p = [], [], [], [], [], []
+    for t, (u, v, p) in zip(times, snaps):
+        cols_t.append(np.full(xg.shape, t))
+        cols_x.append(xg)
+        cols_y.append(yg)
+        cols_u.append(cavity.interpolate_vertex_field(u, n, xg, yg))
+        cols_v.append(cavity.interpolate_vertex_field(v, n, xg, yg))
+        cols_p.append(cavity.interpolate_vertex_field(p, n, xg, yg))
+    io.write_regular_csv(
+        os.path.join(folder, "navier-stokes_SI_cavity_unsteady_r.csv"),
+        np.concatenate(cols_x), np.concatenate(cols_y),
+        np.concatenate(cols_u), np.concatenate(cols_v),
+        np.concatenate(cols_p), t=np.concatenate(cols_t),
+    )
     return folder
 
 
