@@ -197,3 +197,46 @@ def test_driver_fused_pallas_pde_losses_match_xla(monkeypatch):
     gx, _ = jax.flatten_util.ravel_pytree(jax.grad(pb_x.loss_fn)(params))
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-12,
                                rtol=1e-7)
+
+
+def test_driver_resume_appends_rounds(tmp_path):
+    """Hybrid stage-B plumbing: a second driver resumes the first's folder,
+    loads weights + history, skips Adam, and appends only the second round."""
+    prm = analytic.PoiseuilleParams()
+
+    def make_driver(second_round):
+        spec = CaseSpec(
+            name="Poiseuille_Resume",
+            extents=[(0.0, 1.0), (0.0, 0.1)],
+            grid_shape=(10, 6),
+            physics=NSPhysics(conv=prm.rho, visc=prm.mu),
+            exact=(
+                lambda x: analytic.poiseuille_u(x, prm),
+                lambda x: analytic.poiseuille_v(x, prm),
+                lambda x: analytic.poiseuille_p(x, prm),
+            ),
+            bnd_val={0: {"BOT": 0.0, "TOP": 0.0}, 1: {"BOT": 0.0, "TOP": 0.0}},
+        )
+        opts = SimulationOptions(
+            epochs=30, n_pde=32, n_bc=8, n_vel=4, n_pres=0, n_test=16
+        )
+        return StandardNSDriver(
+            spec, opts, base_dir=str(tmp_path), save_results=True, seed=0,
+            second_round=second_round, adam_epochs=20,
+        )
+
+    d1 = make_driver("none")
+    d1.train(callbacks=True)
+    d1.save_artifacts()
+    folder = d1.folder
+    h1_last = d1.pb.history.iters[-1]
+
+    d2 = make_driver("jax-bfgs")
+    d2.train(resume_from=folder, callbacks=True)
+    h2 = d2.pb.history
+    assert h2.round_names[-1] == "jax_BFGS"
+    assert h2.round_names.count("keras_Adam") == 1  # no second Adam round
+    assert h2.round_starts[-1] == h1_last + 1
+    assert h2.loss_global[-1] <= d1.pb.history.loss_global[-1] * 1.0001
+    # resumed run wrote into the SAME folder
+    assert d2.folder == folder
