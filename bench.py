@@ -216,7 +216,9 @@ def bench_torch_reference_style(n_points: int, iters: int):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--points", type=int, default=65536)
+    # 262144: large enough that the forward loop is compute-bound rather
+    # than latency-bound (at 65k the 0.5ms dispatch floor dominates)
+    ap.add_argument("--points", type=int, default=262144)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--baseline-points", type=int, default=4096)
     ap.add_argument("--baseline-iters", type=int, default=5)
