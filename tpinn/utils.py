@@ -104,9 +104,14 @@ class CheckpointCallback:
 
     def __call__(self, pb, iteration: int, force: bool = False) -> None:
         if not force:
-            if self.frequency <= 0 or iteration % self.frequency != 0:
-                return
-            if self._last_fired == iteration:
+            # rate-based, not alignment-based: resumed rounds start at
+            # arbitrary global offsets (e.g. 20102) where
+            # `iteration % frequency == 0` may never coincide with a log
+            # point — the flush would silently never fire
+            if self.frequency <= 0 or (
+                self._last_fired is not None
+                and iteration - self._last_fired < self.frequency
+            ):
                 return
         self._last_fired = iteration
         from tpinn.checkpoint import save_checkpoint
@@ -149,9 +154,12 @@ class HistoryPlotCallback:
 
     def __call__(self, pb, iteration: int, force: bool = False) -> None:
         if not force:
-            if self.frequency <= 0 or iteration % self.frequency != 0:
-                return
-            if self._last_fired == iteration:
+            # rate-based (see CheckpointCallback): resumed rounds start at
+            # arbitrary offsets where modulo alignment can never fire
+            if self.frequency <= 0 or (
+                self._last_fired is not None
+                and iteration - self._last_fired < self.frequency
+            ):
                 return
         self._last_fired = iteration
         if self.filename_history:
