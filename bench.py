@@ -149,12 +149,13 @@ def bench_train_step(model, params, norm, physics, x, iters, use_pallas):
         return losses[-1]
 
     dt, out = _time_scan(loop, (params, opt_state, x), iters)
+    # XLA's cost_analysis counts the lax.scan body ONCE (verified: the
+    # reported flops equal one train step's), so it is already per-iteration
     flops = _flops_of(loop, (params, opt_state, x))
-    per_iter_flops = flops / iters if flops else None
     return (
         x.shape[0] / dt,
-        per_iter_flops,
-        (per_iter_flops / dt if per_iter_flops else None),
+        flops,
+        (flops / dt if flops else None),
     )
 
 

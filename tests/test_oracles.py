@@ -220,3 +220,44 @@ def test_gmsh_reader_reference_mesh():
     # domain bounding box from the .geo design
     assert -1.6 < mesh.nodes[:, 0].min() < -1.4
     assert 1.9 < mesh.nodes[:, 0].max() < 2.1
+
+
+def test_refine_uniform_preserves_geometry():
+    from tpinn.oracles.coronary import boundary_vertices_of, refine_uniform
+
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    tris = np.array([[0, 1, 2], [1, 3, 2]])
+    n2, t2 = refine_uniform(nodes, tris)
+    assert t2.shape == (8, 3)
+    # original vertices keep their indices
+    np.testing.assert_array_equal(n2[:4], nodes)
+    # midpoints shared between adjacent triangles are not duplicated:
+    # 4 original + 5 unique edge midpoints
+    assert n2.shape == (9, 2)
+    # total area preserved
+    def area(n, t):
+        a, b, c = n[t[:, 0]], n[t[:, 1]], n[t[:, 2]]
+        return np.abs(np.cross(b - a, c - a)).sum() / 2
+    assert area(n2, t2) == pytest.approx(area(nodes, tris))
+    # boundary of the refined unit square: all nodes except the center
+    bnd = boundary_vertices_of(t2)
+    assert len(bnd) == 8
+
+
+def test_classify_boundary_matches_generate_bpoints():
+    import os
+
+    path = "/root/reference/Examples/Coronary_Flow/coroParam.msh"
+    if not os.path.exists(path):
+        pytest.skip("reference mesh not available")
+    from tpinn.oracles.coronary import (
+        boundary_vertices_of, classify_boundary, generate_bpoints,
+    )
+    from tpinn.oracles.mesh import read_gmsh
+
+    mesh = read_gmsh(path)
+    bidx = boundary_vertices_of(mesh.triangles)
+    marks = classify_boundary(mesh.nodes[:, :2], bidx)
+    ref = generate_bpoints(path)
+    # same split as the npy-based marking: 701/33/33/33
+    assert [int((marks == f).sum()) for f in range(4)] == [701, 33, 33, 33]

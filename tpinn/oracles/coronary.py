@@ -56,11 +56,53 @@ def inflow_profile(x, prm: CoronaryParams = CoronaryParams()):
     return prm.cos_theta * mag, prm.sin_theta * mag
 
 
-def boundary_vertices(mesh) -> np.ndarray:
+def refine_uniform(nodes: np.ndarray, triangles: np.ndarray):
+    """One level of uniform (red) triangle refinement via edge midpoints.
+
+    The original vertices keep their indices (0..M-1), so a field solved on
+    the refined mesh restricts to the original nodes by slicing — used to
+    upgrade the coronary oracle's accuracy (P1 velocity error ~ h², one
+    refinement level ≈ 4× more accurate data on the driver's node set; the
+    reference used Taylor–Hood P2/P1 elements, DataGeneration/coronary.py:70).
+    """
+    edges: dict = {}
+    mids = []
+
+    def mid(a: int, b: int) -> int:
+        key = (a, b) if a < b else (b, a)
+        idx = edges.get(key)
+        if idx is None:
+            idx = len(nodes) + len(mids)
+            edges[key] = idx
+            mids.append(0.5 * (nodes[key[0]] + nodes[key[1]]))
+        return idx
+
+    tris = []
+    for a, b, c in triangles:
+        ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+        tris.extend([[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]])
+    new_nodes = np.concatenate([nodes, np.asarray(mids)], axis=0)
+    return new_nodes, np.asarray(tris, dtype=triangles.dtype)
+
+
+def classify_boundary(nodes2d: np.ndarray, bidx: np.ndarray,
+                      tol: float = 1e-12) -> np.ndarray:
+    """Flags for boundary vertex indices using the reference's subdomain
+    predicates (DataGeneration/coronary.py:28-39): 1 inflow, 2 outflow-1,
+    3 outflow-2, 0 no-slip wall.  Works on refined meshes too (edge
+    midpoints of a marked segment still satisfy the linear predicate)."""
+    x, y = nodes2d[bidx, 0], nodes2d[bidx, 1]
+    marks = np.zeros(len(bidx), dtype=np.int64)
+    marks[np.abs(y + 4.0 * x + 6.4) < tol] = 1
+    marks[np.abs(y + 2.0 * x - 4.8) < tol] = 2
+    marks[np.logical_and(np.abs(x - 1.2) < tol, y < 0)] = 3
+    return marks
+
+
+def boundary_vertices_of(tris: np.ndarray) -> np.ndarray:
     """Indices of vertices on the exterior boundary: vertices of triangle
     edges that belong to exactly one triangle (the FD analog of dolfin's
     BoundaryMesh(mesh, "exterior"), reference DataGeneration/coronary.py:53)."""
-    tris = mesh.triangles
     edges = np.concatenate(
         [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0
     )
@@ -68,6 +110,10 @@ def boundary_vertices(mesh) -> np.ndarray:
     uniq, counts = np.unique(edges, axis=0, return_counts=True)
     bnd_edges = uniq[counts == 1]
     return np.unique(bnd_edges.reshape(-1))
+
+
+def boundary_vertices(mesh) -> np.ndarray:
+    return boundary_vertices_of(mesh.triangles)
 
 
 def generate_bpoints(msh_path: str, tol: float = 1e-14) -> np.ndarray:
@@ -115,39 +161,56 @@ def solve_coronary(
     prm: CoronaryParams = CoronaryParams(),
     picard_iters: int = 30,
     verbose: bool = False,
+    refine: int = 0,
 ):
     """Solve steady NS on the coronary mesh; returns (nodes2d, u, v, p).
 
     ``bpoints_path`` is optional: when None the labeled boundary points are
     derived from the mesh itself (generate_bpoints), making the L0 stage
-    self-contained."""
+    self-contained.  ``refine``: levels of uniform red refinement before
+    solving (the solution is restricted back to the original node set) —
+    P1 error ~ h², so one level ≈ 4× more accurate oracle data.
+    """
     mesh = read_gmsh(msh_path)
     nodes = mesh.nodes[:, :2]
-    if bpoints_path is None:
-        bflags = io.bpoints_to_dict(generate_bpoints(msh_path))
-    else:
-        bflags = io.load_bpoints(bpoints_path)
-    bidx = match_boundary_nodes(nodes, bflags)
+    tris = mesh.triangles
+    n_orig = nodes.shape[0]
+    for _ in range(int(refine)):
+        nodes, tris = refine_uniform(nodes, tris)
 
     dirichlet: Dict[int, Tuple[float, float]] = {}
-    for i in bidx["NOSL"]:
+    if refine == 0 and bpoints_path is not None:
+        bflags = io.load_bpoints(bpoints_path)
+        bidx = match_boundary_nodes(nodes, bflags)
+        nosl, inf = bidx["NOSL"], bidx["INF"]
+    else:
+        # geometric classification (refinement-safe)
+        ball = boundary_vertices_of(tris)
+        marks = classify_boundary(nodes, ball)
+        nosl = ball[marks == 0]
+        inf = ball[marks == 1]
+    for i in nosl:
         dirichlet[int(i)] = (0.0, 0.0)
-    inf_nodes = bidx["INF"]
-    u_in, v_in = inflow_profile(nodes[inf_nodes], prm)
-    for i, uu, vv in zip(inf_nodes, u_in, v_in):
+    u_in, v_in = inflow_profile(nodes[inf], prm)
+    for i, uu, vv in zip(inf, u_in, v_in):
         dirichlet[int(i)] = (float(uu), float(vv))
     # OUT1/OUT2 remain natural (do-nothing) — traction-free outflow, the
     # condition the driver's Neumann losses encode (weights 1e-3, :245-255).
 
     u, v, p = fem.solve_navier_stokes(
         nodes,
-        mesh.triangles,
+        tris,
         nu=prm.ni,
         dirichlet=dirichlet,
         picard_iters=picard_iters,
         verbose=verbose,
     )
-    return nodes, u, v, p
+    return (
+        nodes[:n_orig],
+        u[:n_orig],
+        v[:n_orig],
+        p[:n_orig],
+    )
 
 
 def generate_coronary(
@@ -156,6 +219,7 @@ def generate_coronary(
     bpoints_path: Optional[str] = None,
     prm: CoronaryParams = CoronaryParams(),
     verbose: bool = False,
+    refine: int = 0,
 ) -> str:
     """Write steady_coronary_steady.h5 + bpoints.npy in the reference layout
     (coronary_flow_steady.py:90-119,141).  bpoints are derived from the mesh
@@ -167,7 +231,7 @@ def generate_coronary(
     if os.path.exists(h5_path) and os.path.exists(bp_out):
         return folder
     nodes, u, v, p = solve_coronary(
-        msh_path, bpoints_path, prm, verbose=verbose
+        msh_path, bpoints_path, prm, verbose=verbose, refine=refine
     )
     io.write_fields_h5(h5_path, u, v, p, geometry=nodes)
     os.makedirs(folder, exist_ok=True)
