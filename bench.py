@@ -217,9 +217,11 @@ def bench_torch_reference_style(n_points: int, iters: int):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    # 262144: large enough that the forward loop is compute-bound rather
-    # than latency-bound (at 65k the 0.5ms dispatch floor dominates)
-    ap.add_argument("--points", type=int, default=262144)
+    # 4M: the forward scan carries a fixed ~0.8ms per-iteration overhead on
+    # the tunnel TPU, so smaller batches underreport per-point throughput
+    # (measured: 2.9e8 pts/s at 262k vs 2.1e9 at 4M for the same XLA
+    # forward); 4M is firmly compute-bound for forward AND train step.
+    ap.add_argument("--points", type=int, default=4194304)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--baseline-points", type=int, default=4096)
     ap.add_argument("--baseline-iters", type=int, default=5)

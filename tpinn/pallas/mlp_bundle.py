@@ -105,14 +105,18 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
                      chunk: int, n_chunks: int, phys: dict, n_total: int):
     """Single-instance fused NS-residual kernel.
 
-    The whole (transposed) point batch lives in VMEM; an internal fori_loop
-    walks lane-chunks, propagating the five Taylor streams through the MLP
-    (one (out, in) @ (in, 5*chunk) MXU matmul per layer) and accumulating the
-    three squared-residual partial sums in the loop carry.  No grid, no
-    output-block revisiting — the pipeline serialization of a constant-output
-    accumulator block is avoided entirely.
+    The (transposed) point batch stays in HBM; a double-buffered DMA
+    pipeline streams one (d_in, chunk) lane-chunk at a time into a VMEM
+    scratch while the previous chunk computes, so VMEM use is O(chunk) and
+    the kernel scales to arbitrarily large point batches.  Each chunk
+    propagates the five Taylor streams through the MLP (one
+    (out, in) @ (in, 5*chunk) MXU matmul per layer) and accumulates the
+    three squared-residual partial sums in the fori_loop carry.  No grid,
+    no output-block revisiting — the pipeline serialization of a
+    constant-output accumulator block is avoided entirely.
     """
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     n_layers = len(widths) - 1
     w_refs = refs[:n_layers]
@@ -128,8 +132,36 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     ws = [w_refs[i][...] for i in range(n_layers)]
     bs = [b_refs[i][...] for i in range(n_layers)]
 
-    def body(c, acc):
-        xt = xt_ref[c]  # (d_in, CH) — leading-dim index, no lane slicing
+    def scoped(xbuf, sems):
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                xt_ref.at[c], xbuf.at[slot], sems.at[slot]
+            )
+
+        get_dma(0, 0).start()
+
+        def body(c, acc):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            xt = xbuf[slot]  # (d_in, CH)
+            return _fwd_chunk(c, xt, acc)
+
+        acc = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((3,), dtype=dtype)
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        out = jnp.zeros((8, 128), dtype=dtype)
+        for j in range(3):
+            out = out + jnp.where((sub == 0) & (lane == j), acc[j], 0.0)
+        out_ref[...] = out
+
+    def _fwd_chunk(c, xt, acc):
         streams = [xt]
         for k in range(dim):
             streams.append(
@@ -184,13 +216,11 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
             moms.append(jnp.sum(r * r))
         return acc + jnp.stack([pm, moms[0], moms[1]])
 
-    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((3,), dtype=dtype))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    out = jnp.zeros((8, 128), dtype=dtype)
-    for j in range(3):
-        out = out + jnp.where((sub == 0) & (lane == j), acc[j], 0.0)
-    out_ref[...] = out
+    pl.run_scoped(
+        scoped,
+        xbuf=pltpu.VMEM((2, d_in, chunk), dtype),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
 
 
 def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
@@ -202,8 +232,13 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     cotangents from the incoming (3,) MSE cotangents, and walk the layers in
     reverse accumulating dW/db in the fori_loop carry.  Gradients w.r.t. the
     collocation points are NOT produced (training never needs them).
+
+    Like the forward kernel, the point batch stays in HBM and chunks are
+    streamed through a double-buffered VMEM scratch, so VMEM use is
+    O(chunk) regardless of batch size.
     """
     import jax.experimental.pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
 
     n_layers = len(widths) - 1
     w_refs = refs[:n_layers]
@@ -224,8 +259,30 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     gbar = gbar_ref[...]
     g_cot = [gbar[0, j] for j in range(3)]  # mass, mom-u, mom-v cotangents
 
-    def body(c, carry):
-        xt = xt_ref[c]  # (d_in, CH)
+    def scoped(xbuf, sems):
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                xt_ref.at[c], xbuf.at[slot], sems.at[slot]
+            )
+
+        get_dma(0, 0).start()
+
+        def body(c, carry):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            return _bwd_chunk(c, xbuf[slot], carry)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body, init)
+        for i in range(n_layers):
+            dw_refs[i][...] = acc[i]
+            db_refs[i][...] = acc[n_layers + i]
+
+    def _bwd_chunk(c, xt, carry):
         streams = [xt]
         for k in range(dim):
             streams.append(jnp.broadcast_to(eye[:, k : k + 1], (d_in, chunk)))
@@ -357,10 +414,11 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     ) + tuple(
         jnp.zeros((1, widths[i + 1]), dtype=dtype) for i in range(n_layers)
     )
-    acc = jax.lax.fori_loop(0, n_chunks, body, init)
-    for i in range(n_layers):
-        dw_refs[i][...] = acc[i]
-        db_refs[i][...] = acc[n_layers + i]
+    pl.run_scoped(
+        scoped,
+        xbuf=pltpu.VMEM((2, d_in, chunk), dtype),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
 
 
 def _prep_residual_args(params, x, chunk):
@@ -398,7 +456,9 @@ def _ns_mse_forward(params, x, phys, chunk, interpret):
         _residual_kernel, dim=2, widths=widths, chunk=chunk,
         n_chunks=xt.shape[0], phys=dict(phys), n_total=n,
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(w_args))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+    ] * (2 * len(w_args))
     acc = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -415,7 +475,8 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
 
     # The backward pass stores per-layer streams + activation auxiliaries for
     # the whole chunk (~4.5 KB/point at width 32); cap the chunk so the
-    # working set stays inside the ~16 MB scoped VMEM budget.
+    # working set stays inside the ~16 MB scoped VMEM budget.  The batch
+    # itself streams from HBM, so this cap is independent of batch size.
     chunk = min(chunk, 2048)
     xt, w_args, b_args, widths, n, dtype = _prep_residual_args(params, x, chunk)
     n_layers = len(w_args)
@@ -426,7 +487,9 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
     gpad = jnp.zeros((8, 128), dtype=dtype).at[0, :3].set(
         jnp.asarray(gbar, dtype=dtype)
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + 2 * n_layers)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+    ] * (1 + 2 * n_layers)
     out_shape = [
         jax.ShapeDtypeStruct((widths[i], widths[i + 1]), dtype)
         for i in range(n_layers)

@@ -110,9 +110,12 @@ class FusedNSResidualMSEs:
     """All three steady-2D PDE MSEs (mass, mom-u, mom-v) in ONE fused Pallas
     kernel with a hand-written backward kernel (tpinn.pallas.ns_residual_mse).
 
-    Measured on TPU v5e (bench.py, round 2): the fused train step runs ~1.7×
-    faster than the XLA jet path, so this is the default PDE-loss evaluator
-    for plain steady-2D tanh-MLP cases on TPU.
+    Measured on TPU v5e (bench.py, round 2): the fused train step runs
+    5–11× faster than the XLA jet path (1.4e8 pts/s at 262k points,
+    2.2e8 at 1M, vs 2.0–2.6e7 for XLA), so this is the default PDE-loss
+    evaluator for plain steady-2D tanh-MLP cases on TPU.  The batch streams
+    from HBM through a double-buffered VMEM scratch, so batch size is
+    unbounded by the 16 MB VMEM.
 
     The three per-loss closures share one kernel call per trace via an
     identity-keyed memo: loss closures are invoked with the same bound
