@@ -85,7 +85,53 @@ def test_ns_residual_mse_custom_vjp_matches_xla():
                                rtol=1e-9)
 
 
-def test_ns_residual_mse_rejects_unsteady_input():
+def test_ns_residual_mse_unsteady_matches_xla():
+    """Unsteady (t, x, y) layout: 6 Taylor streams, ∂t momentum term, and
+    the hand-written backward — all vs jax.grad of the XLA jet path."""
+    from tpinn.geometry import Normalization
+    from tpinn.pallas.mlp_bundle import ns_residual_mse
+    from tpinn.pipeline import (
+        NSPhysics, ResidualBundle, mass_residual, momentum_residual,
+    )
+
+    model = MLP(3, 3, width=32, depth=3, seed=2, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 1.0]), np.array([0.0, 1.0]), np.array([-2.0, 2.0])
+    )
+    phys = NSPhysics(conv=1.0, visc=1.0, time=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (300, 3)), dtype=jnp.float64
+    )
+    w = jnp.asarray([10.0, 1.0, 1.0])
+
+    def xla_loss(p):
+        prev = model._bound
+        model._bound = p
+        b = ResidualBundle(model, x, unsteady=True, use_pallas=False)
+        out = (
+            w[0] * jnp.mean(mass_residual(b, norm) ** 2)
+            + w[1] * jnp.mean(momentum_residual(b, 0, phys, norm) ** 2)
+            + w[2] * jnp.mean(momentum_residual(b, 1, phys, norm) ** 2)
+        )
+        model._bound = prev
+        return out
+
+    def pallas_loss(p):
+        return jnp.sum(
+            w * ns_residual_mse(p, x, phys, norm, np_tile=256, interpret=True)
+        )
+
+    np.testing.assert_allclose(
+        float(xla_loss(params)), float(pallas_loss(params)), rtol=1e-12
+    )
+    gx, _ = jax.flatten_util.ravel_pytree(jax.grad(xla_loss)(params))
+    gp, _ = jax.flatten_util.ravel_pytree(jax.grad(pallas_loss)(params))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gp), atol=1e-12,
+                               rtol=1e-9)
+
+
+def test_ns_residual_mse_rejects_mismatched_input():
     from tpinn.geometry import Normalization
     from tpinn.pallas.mlp_bundle import ns_residual_mse
     from tpinn.pipeline import NSPhysics
@@ -94,6 +140,12 @@ def test_ns_residual_mse_rejects_unsteady_input():
     norm = Normalization(np.array([0.0, 1.0]), np.array([0.0, 1.0]),
                          np.array([0.0, 1.0]))
     x3 = jnp.zeros((64, 3), dtype=jnp.float32)
-    with pytest.raises(ValueError, match="steady 2-D"):
+    # steady physics with a 3-column batch
+    with pytest.raises(ValueError, match="expected 2"):
         ns_residual_mse(model.params, x3, NSPhysics(), norm, np_tile=64,
                         interpret=True)
+    # unsteady physics with a 2-column batch
+    x2 = jnp.zeros((64, 2), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="expected 3"):
+        ns_residual_mse(model.params, x2, NSPhysics(time=1.0), norm,
+                        np_tile=64, interpret=True)

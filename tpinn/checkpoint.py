@@ -38,8 +38,12 @@ def save_checkpoint(path, params, opt_state=None, prng_key=None, extra: Optional
         "prng_key": np.asarray(prng_key) if prng_key is not None else None,
         "extra": extra or {},
     }
-    with open(path, "wb") as f:
+    # atomic replace: periodic CheckpointCallback flushes must never leave a
+    # torn checkpoint if the process dies mid-write
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(state, f)
+    os.replace(tmp, str(path))
 
 
 def load_checkpoint(path) -> dict:

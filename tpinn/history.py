@@ -103,8 +103,13 @@ class History:
         parent = os.path.dirname(path)
         if parent:
             os.makedirs(parent, exist_ok=True)
-        with open(path, "w") as f:
+        # atomic replace: the periodic flush is the crash-recovery mechanism
+        # (SURVEY.md §5.3), so a crash mid-write must never corrupt the
+        # previous good history
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.to_dict(), f, indent=2)
+        os.replace(tmp, path)
 
     @classmethod
     def from_dict(cls, d: dict) -> "History":

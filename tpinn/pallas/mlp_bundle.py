@@ -101,19 +101,26 @@ def _kernel(x_ref, *refs, dim: int, widths: Sequence[int], np_tile: int):
     hdiag_out[...] = jnp.stack(hdg, axis=-1).transpose(1, 0, 2)
 
 
-def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
-                     chunk: int, n_chunks: int, phys: dict, n_total: int):
-    """Single-instance fused NS-residual kernel.
+def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
+                     widths: Sequence[int], chunk: int, n_chunks: int,
+                     phys: dict, n_total: int):
+    """Single-instance fused NS-residual kernel (steady OR unsteady).
 
     The (transposed) point batch stays in HBM; a double-buffered DMA
     pipeline streams one (d_in, chunk) lane-chunk at a time into a VMEM
     scratch while the previous chunk computes, so VMEM use is O(chunk) and
     the kernel scales to arbitrarily large point batches.  Each chunk
-    propagates the five Taylor streams through the MLP (one
-    (out, in) @ (in, 5*chunk) MXU matmul per layer) and accumulates the
-    three squared-residual partial sums in the fori_loop carry.  No grid,
-    no output-block revisiting — the pipeline serialization of a
-    constant-output accumulator block is avoided entirely.
+    propagates the Taylor streams — [val | g_0 .. g_{d_in-1} | h_x h_y],
+    one gradient stream per input column, Hessian-diagonal streams for the
+    spatial columns only (S = 5 steady, 6 unsteady where column 0 is t) —
+    through the MLP (one (out, in) @ (in, S*chunk) MXU matmul per layer)
+    and accumulates the three squared-residual partial sums in the
+    fori_loop carry.  No grid, no output-block revisiting — the pipeline
+    serialization of a constant-output accumulator block is avoided
+    entirely.  ``spatial`` maps (x, y) to input columns ((0, 1) steady,
+    (1, 2) unsteady, the reference derivative-column convention,
+    cavity_unsteady.py:188); ``phys["time"]`` multiplies the nv·∂t U_k
+    momentum term.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -124,10 +131,13 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     out_ref = refs[2 * n_layers]
 
     d_in = widths[0]
+    n_h = len(spatial)
+    sx, sy = spatial
     dtype = xt_ref.dtype
     eye = jnp.eye(d_in, dtype=dtype)
     nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
     conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
+    timec = phys.get("time", 0.0)
 
     ws = [w_refs[i][...] for i in range(n_layers)]
     bs = [b_refs[i][...] for i in range(n_layers)]
@@ -163,13 +173,13 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
 
     def _fwd_chunk(c, xt, acc):
         streams = [xt]
-        for k in range(dim):
+        for k in range(d_in):
             streams.append(
                 jnp.broadcast_to(eye[:, k : k + 1], (d_in, chunk))
             )
-        for _ in range(dim):
+        for _ in range(n_h):
             streams.append(jnp.zeros((d_in, chunk), dtype=dtype))
-        s = jnp.concatenate(streams, axis=1)  # (d_in, 5*CH)
+        s = jnp.concatenate(streams, axis=1)  # (d_in, S*CH)
 
         for li in range(n_layers):
             z = jax.lax.dot_general(
@@ -181,38 +191,42 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
                 v = jnp.tanh(zv)
                 tp = 1.0 - v * v
                 new = [v]
-                for k in range(dim):
+                for k in range(d_in):
                     gz = z[:, (1 + k) * chunk : (2 + k) * chunk]
                     new.append(tp * gz)
-                for k in range(dim):
-                    gz = z[:, (1 + k) * chunk : (2 + k) * chunk]
-                    hz = z[:, (1 + dim + k) * chunk : (2 + dim + k) * chunk]
+                for j, pk in enumerate(spatial):
+                    gz = z[:, (1 + pk) * chunk : (2 + pk) * chunk]
+                    hz = z[:, (1 + d_in + j) * chunk
+                           : (2 + d_in + j) * chunk]
                     new.append(-2.0 * v * tp * gz * gz + tp * hz)
                 s = jnp.concatenate(new, axis=1)
             else:
                 s = jnp.concatenate([zv, z[:, chunk:]], axis=1)
 
         val = s[:, :chunk]
-        g0 = s[:, chunk : 2 * chunk]
-        g1 = s[:, 2 * chunk : 3 * chunk]
-        h0 = s[:, 3 * chunk : 4 * chunk]
-        h1 = s[:, 4 * chunk : 5 * chunk]
+        gx = s[:, (1 + sx) * chunk : (2 + sx) * chunk]
+        gy = s[:, (1 + sy) * chunk : (2 + sy) * chunk]
+        hx = s[:, (1 + d_in) * chunk : (2 + d_in) * chunk]
+        hy = s[:, (2 + d_in) * chunk : (3 + d_in) * chunk]
+        gt = s[:, chunk : 2 * chunk]  # ∂t stream (column 0; unsteady only)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)[0]
         valid = (lane + c * chunk) < n_total
 
-        r_mass = jnp.where(valid, g0[0] + g1[1], 0.0)
+        r_mass = jnp.where(valid, gx[0] + gy[1], 0.0)
         U = nv * val[0]
         V = nv * val[1]
         pm = jnp.sum(r_mass * r_mass)
         moms = []
         for k in (0, 1):
-            dkx = nv * g0[k]
-            dky = nv * g1[k]
-            lap = nv * (h0[k] + h1[k])
-            dp = npre * (g0[2] if k == 0 else g1[2])
-            r = (conv * (U * dkx + V * dky) - visc * lap + pres * dp) * scale
-            r = jnp.where(valid, r, 0.0)
+            dkx = nv * gx[k]
+            dky = nv * gy[k]
+            lap = nv * (hx[k] + hy[k])
+            dp = npre * (gx[2] if k == 0 else gy[2])
+            r = conv * (U * dkx + V * dky) - visc * lap + pres * dp
+            if timec != 0.0:
+                r = r + timec * nv * gt[k]
+            r = jnp.where(valid, r * scale, 0.0)
             moms.append(jnp.sum(r * r))
         return acc + jnp.stack([pm, moms[0], moms[1]])
 
@@ -223,19 +237,22 @@ def _residual_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     )
 
 
-def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
-                         chunk: int, n_chunks: int, phys: dict, n_total: int):
+def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
+                         widths: Sequence[int], chunk: int, n_chunks: int,
+                         phys: dict, n_total: int):
     """Backward of the fused NS-residual MSEs w.r.t. the MLP parameters.
 
-    One pass per chunk: recompute the five Taylor streams layer by layer
+    One pass per chunk: recompute the Taylor streams layer by layer
     (storing per-layer inputs + activation auxiliaries), form the residual
     cotangents from the incoming (3,) MSE cotangents, and walk the layers in
     reverse accumulating dW/db in the fori_loop carry.  Gradients w.r.t. the
     collocation points are NOT produced (training never needs them).
 
-    Like the forward kernel, the point batch stays in HBM and chunks are
-    streamed through a double-buffered VMEM scratch, so VMEM use is
-    O(chunk) regardless of batch size.
+    Stream layout and ``spatial``/``phys["time"]`` semantics match
+    :func:`_residual_kernel` (steady 5 streams / unsteady 6).  Like the
+    forward kernel, the point batch stays in HBM and chunks are streamed
+    through a double-buffered VMEM scratch, so VMEM use is O(chunk)
+    regardless of batch size.
     """
     import jax.experimental.pallas as pl  # noqa: F401
     from jax.experimental.pallas import tpu as pltpu
@@ -249,10 +266,13 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     db_refs = out_refs[n_layers:]
 
     d_in = widths[0]
+    n_h = len(spatial)
+    sx, sy = spatial
     dtype = xt_ref.dtype
     eye = jnp.eye(d_in, dtype=dtype)
     nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
     conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
+    timec = phys.get("time", 0.0)
 
     ws = [w_refs[i][...] for i in range(n_layers)]
     bs = [b_refs[i][...] for i in range(n_layers)]
@@ -284,9 +304,9 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
 
     def _bwd_chunk(c, xt, carry):
         streams = [xt]
-        for k in range(dim):
+        for k in range(d_in):
             streams.append(jnp.broadcast_to(eye[:, k : k + 1], (d_in, chunk)))
-        for _ in range(dim):
+        for _ in range(n_h):
             streams.append(jnp.zeros((d_in, chunk), dtype=dtype))
         s = jnp.concatenate(streams, axis=1)
 
@@ -302,14 +322,14 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
                 v = jnp.tanh(zv)
                 tp = 1.0 - v * v
                 gz = [z[:, (1 + k) * chunk : (2 + k) * chunk]
-                      for k in range(dim)]
-                hz = [z[:, (1 + dim + k) * chunk : (2 + dim + k) * chunk]
-                      for k in range(dim)]
+                      for k in range(d_in)]
+                hz = [z[:, (1 + d_in + j) * chunk : (2 + d_in + j) * chunk]
+                      for j in range(n_h)]
                 new = [v]
-                for k in range(dim):
+                for k in range(d_in):
                     new.append(tp * gz[k])
-                for k in range(dim):
-                    new.append(-2.0 * v * tp * gz[k] * gz[k] + tp * hz[k])
+                for j, pk in enumerate(spatial):
+                    new.append(-2.0 * v * tp * gz[pk] * gz[pk] + tp * hz[j])
                 aux.append((v, tp, gz, hz))
                 s_list.append(jnp.concatenate(new, axis=1))
             else:
@@ -318,28 +338,31 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
 
         sL = s_list[-1]
         val = sL[:, :chunk]
-        g0 = sL[:, chunk : 2 * chunk]
-        g1 = sL[:, 2 * chunk : 3 * chunk]
-        h0 = sL[:, 3 * chunk : 4 * chunk]
-        h1 = sL[:, 4 * chunk : 5 * chunk]
+        gx = sL[:, (1 + sx) * chunk : (2 + sx) * chunk]
+        gy = sL[:, (1 + sy) * chunk : (2 + sy) * chunk]
+        hx = sL[:, (1 + d_in) * chunk : (2 + d_in) * chunk]
+        hy = sL[:, (2 + d_in) * chunk : (3 + d_in) * chunk]
+        gt = sL[:, chunk : 2 * chunk]  # ∂t stream (col 0; unsteady only)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)[0]
         valid = (lane + c * chunk) < n_total
 
         # residuals (same as forward) and per-point cotangents c_* = ḡ·2r/n
         two_over_n = jnp.asarray(2.0 / n_total, dtype=dtype)
-        r_mass = jnp.where(valid, g0[0] + g1[1], 0.0)
+        r_mass = jnp.where(valid, gx[0] + gy[1], 0.0)
         c_m = g_cot[0] * two_over_n * r_mass
 
         zero = jnp.zeros((chunk,), dtype=dtype)
         c_k = []
         for k in (0, 1):
-            gk2 = g0[2] if k == 0 else g1[2]
+            gk2 = gx[2] if k == 0 else gy[2]
             inner = (
-                conv * nv * nv * (val[0] * g0[k] + val[1] * g1[k])
-                - visc * nv * (h0[k] + h1[k])
+                conv * nv * nv * (val[0] * gx[k] + val[1] * gy[k])
+                - visc * nv * (hx[k] + hy[k])
                 + pres * npre * gk2
             )
+            if timec != 0.0:
+                inner = inner + timec * nv * gt[k]
             r = jnp.where(valid, inner * scale, 0.0)
             # d mse_k / d inner = (2 r / n) · scale
             c_k.append(g_cot[1 + k] * two_over_n * r * scale)
@@ -347,29 +370,40 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
         cnv2 = conv * nv * nv
         dval = jnp.stack(
             [
-                c_k[0] * cnv2 * g0[0] + c_k[1] * cnv2 * g0[1],
-                c_k[0] * cnv2 * g1[0] + c_k[1] * cnv2 * g1[1],
+                c_k[0] * cnv2 * gx[0] + c_k[1] * cnv2 * gx[1],
+                c_k[0] * cnv2 * gy[0] + c_k[1] * cnv2 * gy[1],
                 zero,
             ]
         )
-        dg0 = jnp.stack(
+        dgx = jnp.stack(
             [
                 c_k[0] * cnv2 * val[0] + c_m,
                 c_k[1] * cnv2 * val[0],
                 c_k[0] * (pres * npre),
             ]
         )
-        dg1 = jnp.stack(
+        dgy = jnp.stack(
             [
                 c_k[0] * cnv2 * val[1],
                 c_k[1] * cnv2 * val[1] + c_m,
                 c_k[1] * (pres * npre),
             ]
         )
-        dh0 = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
-        dh1 = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
+        dhx = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
+        dhy = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
 
-        ds = jnp.concatenate([dval, dg0, dg1, dh0, dh1], axis=1)  # (3, 5CH)
+        dg_by_col = {sx: dgx, sy: dgy}
+        if timec != 0.0:
+            dg_by_col[0] = jnp.stack(
+                [c_k[0] * (timec * nv), c_k[1] * (timec * nv), zero]
+            )
+        zero3 = jnp.zeros((3, chunk), dtype=dtype)
+        ds = jnp.concatenate(
+            [dval]
+            + [dg_by_col.get(k, zero3) for k in range(d_in)]
+            + [dhx, dhy],
+            axis=1,
+        )  # (3, S·CH)
 
         dws = list(carry[:n_layers])
         dbs = list(carry[n_layers:])
@@ -380,21 +414,26 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
                 v, tp, gz, hz = aux[li]
                 dv_ = ds[:, :chunk]
                 dG = [ds[:, (1 + k) * chunk : (2 + k) * chunk]
-                      for k in range(dim)]
-                dH = [ds[:, (1 + dim + k) * chunk : (2 + dim + k) * chunk]
-                      for k in range(dim)]
+                      for k in range(d_in)]
+                dH = [ds[:, (1 + d_in + j) * chunk : (2 + d_in + j) * chunk]
+                      for j in range(n_h)]
                 dz_v = dv_ * tp
-                for k in range(dim):
+                for k in range(d_in):
                     dz_v = dz_v + dG[k] * (-2.0 * v * tp * gz[k])
-                    dz_v = dz_v + dH[k] * (
-                        -2.0 * tp * (tp - 2.0 * v * v) * gz[k] * gz[k]
-                        - 2.0 * v * tp * hz[k]
+                for j, pk in enumerate(spatial):
+                    dz_v = dz_v + dH[j] * (
+                        -2.0 * tp * (tp - 2.0 * v * v) * gz[pk] * gz[pk]
+                        - 2.0 * v * tp * hz[j]
                     )
                 dz_parts = [dz_v]
-                for k in range(dim):
-                    dz_parts.append(dG[k] * tp + dH[k] * (-4.0 * v * tp * gz[k]))
-                for k in range(dim):
-                    dz_parts.append(dH[k] * tp)
+                for k in range(d_in):
+                    part = dG[k] * tp
+                    for j, pk in enumerate(spatial):
+                        if pk == k:
+                            part = part + dH[j] * (-4.0 * v * tp * gz[k])
+                    dz_parts.append(part)
+                for j in range(n_h):
+                    dz_parts.append(dH[j] * tp)
                 dz = jnp.concatenate(dz_parts, axis=1)
             # bias feeds the value stream only
             dbs[li] = dbs[li] + jnp.sum(dz[:, :chunk], axis=1)[None, :]
@@ -421,16 +460,16 @@ def _residual_bwd_kernel(xt_ref, *refs, dim: int, widths: Sequence[int],
     )
 
 
-def _prep_residual_args(params, x, chunk):
+def _prep_residual_args(params, x, chunk, expect_d_in):
     """Shared layout prep: pad, transpose to (n_chunks, d_in, chunk)."""
     x = jnp.asarray(x)
     n, d_in = x.shape
-    if d_in != 2:
-        # the kernels hardcode the 5-stream steady-2D layout
-        # (val, g0, g1, h0, h1); a 3-column unsteady batch would silently
-        # misread g2 as h0.
+    if d_in != expect_d_in:
+        # steady wants (x, y); unsteady wants (t, x, y).  A mismatched
+        # column count would silently misassign the Taylor streams.
         raise ValueError(
-            f"ns_residual_mse supports steady 2-D input only (got d_in={d_in})"
+            f"ns_residual_mse: input has d_in={d_in} columns but "
+            f"expected {expect_d_in} ({'unsteady (t,x,y)' if expect_d_in == 3 else 'steady (x,y)'})"
         )
     widths = [int(p["kernel"].shape[0]) for p in params] + [
         int(params[-1]["kernel"].shape[1])
@@ -447,13 +486,23 @@ def _prep_residual_args(params, x, chunk):
     return xt, w_args, b_args, widths, n, dtype
 
 
+def _phys_layout(phys):
+    """(spatial column tuple, expected d_in) from the physics dict."""
+    if phys.get("time", 0.0) != 0.0:
+        return (1, 2), 3  # (t, x, y)
+    return (0, 1), 2
+
+
 def _ns_mse_forward(params, x, phys, chunk, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    xt, w_args, b_args, widths, n, dtype = _prep_residual_args(params, x, chunk)
+    spatial, expect_d_in = _phys_layout(phys)
+    xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
+        params, x, chunk, expect_d_in
+    )
     kernel = functools.partial(
-        _residual_kernel, dim=2, widths=widths, chunk=chunk,
+        _residual_kernel, spatial=spatial, widths=widths, chunk=chunk,
         n_chunks=xt.shape[0], phys=dict(phys), n_total=n,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] + [
@@ -478,10 +527,13 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
     # working set stays inside the ~16 MB scoped VMEM budget.  The batch
     # itself streams from HBM, so this cap is independent of batch size.
     chunk = min(chunk, 2048)
-    xt, w_args, b_args, widths, n, dtype = _prep_residual_args(params, x, chunk)
+    spatial, expect_d_in = _phys_layout(phys)
+    xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
+        params, x, chunk, expect_d_in
+    )
     n_layers = len(w_args)
     kernel = functools.partial(
-        _residual_bwd_kernel, dim=2, widths=widths, chunk=chunk,
+        _residual_bwd_kernel, spatial=spatial, widths=widths, chunk=chunk,
         n_chunks=xt.shape[0], phys=dict(phys), n_total=n,
     )
     gpad = jnp.zeros((8, 128), dtype=dtype).at[0, :3].set(
@@ -537,17 +589,20 @@ _ns_mse_prim.defvjp(_ns_mse_fwd, _ns_mse_bwd)
 
 def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
                     interpret: bool = False):
-    """(mse_mass, mse_u, mse_v) for the steady 2-D NS residual — one fused
-    Pallas kernel with an in-kernel chunk loop and reduction, differentiable
-    w.r.t. ``params`` via a hand-written backward kernel (recompute-based:
-    the bwd pass re-propagates the Taylor streams and accumulates dW/db per
-    chunk).  Gradients w.r.t. ``x`` are defined as zero — training never
-    differentiates the loss w.r.t. collocation points."""
+    """(mse_mass, mse_u, mse_v) for the 2-D NS residual, steady or unsteady
+    — one fused Pallas kernel with an in-kernel chunk loop and reduction,
+    differentiable w.r.t. ``params`` via a hand-written backward kernel
+    (recompute-based: the bwd pass re-propagates the Taylor streams and
+    accumulates dW/db per chunk).  When ``physics.time != 0`` the batch is
+    (t, x, y) with column 0 = t (the reference derivative-column
+    convention, cavity_unsteady.py:188) and the momentum residual gains the
+    a_t·nv·∂t U_k term.  Gradients w.r.t. ``x`` are defined as zero —
+    training never differentiates the loss w.r.t. collocation points."""
     phys_items = (
         ("nv", float(norm.norm_vel)), ("npre", float(norm.norm_pre)),
         ("scale", float(norm.residual_scale)),
         ("conv", float(physics.conv)), ("visc", float(physics.visc)),
-        ("pres", float(physics.pres)),
+        ("pres", float(physics.pres)), ("time", float(physics.time)),
     )
     return _ns_mse_prim(params, x, phys_items, int(np_tile), bool(interpret))
 

@@ -160,9 +160,10 @@ class FusedNSResidualMSEs:
 def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
                          mesh=None) -> bool:
     """Default policy for routing the PDE losses through the fused Pallas
-    kernel: steady 2-D, plain tanh MLP, single-chip (the single-instance
-    kernel does not partition over a mesh), TPU backend (or forced via
-    TPINN_USE_PALLAS=1); TPINN_USE_PALLAS=0 disables."""
+    kernel: 2-D steady (x, y) or unsteady (t, x, y), plain tanh MLP,
+    single-chip (the single-instance kernel does not partition over a
+    mesh), TPU backend (or forced via TPINN_USE_PALLAS=1);
+    TPINN_USE_PALLAS=0 disables."""
     import os
 
     import jax
@@ -174,7 +175,9 @@ def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
         type(model).apply_single is Model.apply_single
         and model.activation_name == "tanh"
     )
-    eligible = (not spec_unsteady) and dim_in == 2 and mesh is None and plain
+    eligible = (
+        dim_in == (3 if spec_unsteady else 2) and mesh is None and plain
+    )
     if not eligible:
         return False
     if env is not None:  # forced on (tests use interpret-mode-capable CPU)
