@@ -83,3 +83,44 @@ def test_sharded_training_step_runs(mesh):
     )
     ns.minimize(pb, "keras", ns.optimizers.Adam(1e-2), num_epochs=20)
     assert pb.history.loss_global[-1] < pb.history.loss_global[0]
+
+
+def test_sharded_fused_residual_mse_matches_single(mesh):
+    """shard_map-wrapped Pallas NS-residual MSEs (interpret mode) equal the
+    single-instance kernel, values AND parameter grads, on the 8-dev mesh."""
+    from tpinn.geometry import Normalization
+    from tpinn.models import MLP
+    from tpinn.pallas.mlp_bundle import ns_residual_mse
+    from tpinn.pipeline import NSPhysics
+    from tpinn.sharding import sharded_ns_residual_mse
+
+    model = MLP(2, 3, width=32, depth=3, seed=0, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 500.0]), np.array([0.0, 250.0]), np.array([-1e4, 1e4])
+    )
+    phys = NSPhysics(conv=1.0, visc=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1024, 2)), dtype=jnp.float64
+    )
+    w = jnp.asarray([10.0, 1.0, 1.0])
+
+    def single(p):
+        return jnp.sum(
+            w * ns_residual_mse(p, x, phys, norm, np_tile=128, interpret=True)
+        )
+
+    x_sh = sharding.shard_points(x, mesh)
+
+    def sharded(p):
+        return jnp.sum(
+            w * sharded_ns_residual_mse(p, x_sh, phys, norm, mesh,
+                                        np_tile=128, interpret=True)
+        )
+
+    np.testing.assert_allclose(float(single(params)), float(sharded(params)),
+                               rtol=1e-12)
+    g1, _ = jax.flatten_util.ravel_pytree(jax.grad(single)(params))
+    g2, _ = jax.flatten_util.ravel_pytree(jax.grad(sharded)(params))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12,
+                               rtol=1e-9)

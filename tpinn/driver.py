@@ -281,9 +281,11 @@ class StandardNSDriver:
             if use_fused_pde_losses(model, spec.unsteady, spec.dim_in,
                                     self.mesh):
                 # fused Pallas path: all three PDE MSEs in one kernel call
-                # (fwd + hand-written bwd) — measured ~1.7x faster train step
-                # than the XLA jet path on TPU v5e (bench.py)
-                fused = FusedNSResidualMSEs(model, x_pde, spec.physics, norm)
+                # (fwd + hand-written bwd) — measured 5-11x faster train
+                # step than the XLA jet path on TPU v5e (bench.py); under a
+                # mesh the kernel runs per-shard via shard_map + pmean
+                fused = FusedNSResidualMSEs(model, x_pde, spec.physics, norm,
+                                            mesh=self.mesh)
                 f_mass, f_momu, f_momv = fused.loss_fns()
                 losses += [
                     PrecomputedMeanSquares("PDE_MASS", f_mass,

@@ -131,10 +131,11 @@ def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
     out_ref = refs[2 * n_layers]
 
     d_in = widths[0]
+    dp = max(d_in, _DP)  # padded feature rows (see _prep_residual_args)
     n_h = len(spatial)
     sx, sy = spatial
     dtype = xt_ref.dtype
-    eye = jnp.eye(d_in, dtype=dtype)
+    eye = jnp.eye(dp, dtype=dtype)
     nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
     conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
     timec = phys.get("time", 0.0)
@@ -175,10 +176,10 @@ def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
         streams = [xt]
         for k in range(d_in):
             streams.append(
-                jnp.broadcast_to(eye[:, k : k + 1], (d_in, chunk))
+                jnp.broadcast_to(eye[:, k : k + 1], (dp, chunk))
             )
         for _ in range(n_h):
-            streams.append(jnp.zeros((d_in, chunk), dtype=dtype))
+            streams.append(jnp.zeros((dp, chunk), dtype=dtype))
         s = jnp.concatenate(streams, axis=1)  # (d_in, S*CH)
 
         for li in range(n_layers):
@@ -222,8 +223,8 @@ def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
             dkx = nv * gx[k]
             dky = nv * gy[k]
             lap = nv * (hx[k] + hy[k])
-            dp = npre * (gx[2] if k == 0 else gy[2])
-            r = conv * (U * dkx + V * dky) - visc * lap + pres * dp
+            dpk = npre * (gx[2] if k == 0 else gy[2])
+            r = conv * (U * dkx + V * dky) - visc * lap + pres * dpk
             if timec != 0.0:
                 r = r + timec * nv * gt[k]
             r = jnp.where(valid, r * scale, 0.0)
@@ -232,7 +233,7 @@ def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
 
     pl.run_scoped(
         scoped,
-        xbuf=pltpu.VMEM((2, d_in, chunk), dtype),
+        xbuf=pltpu.VMEM((2, dp, chunk), dtype),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -266,10 +267,11 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
     db_refs = out_refs[n_layers:]
 
     d_in = widths[0]
+    dp = max(d_in, _DP)  # padded feature rows (see _prep_residual_args)
     n_h = len(spatial)
     sx, sy = spatial
     dtype = xt_ref.dtype
-    eye = jnp.eye(d_in, dtype=dtype)
+    eye = jnp.eye(dp, dtype=dtype)
     nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
     conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
     timec = phys.get("time", 0.0)
@@ -305,9 +307,9 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
     def _bwd_chunk(c, xt, carry):
         streams = [xt]
         for k in range(d_in):
-            streams.append(jnp.broadcast_to(eye[:, k : k + 1], (d_in, chunk)))
+            streams.append(jnp.broadcast_to(eye[:, k : k + 1], (dp, chunk)))
         for _ in range(n_h):
-            streams.append(jnp.zeros((d_in, chunk), dtype=dtype))
+            streams.append(jnp.zeros((dp, chunk), dtype=dtype))
         s = jnp.concatenate(streams, axis=1)
 
         s_list = [s]  # layer inputs
@@ -448,20 +450,30 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
         return tuple(dws) + tuple(dbs)
 
     init = tuple(
-        jnp.zeros((widths[i], widths[i + 1]), dtype=dtype)
+        jnp.zeros((dp if i == 0 else widths[i], widths[i + 1]), dtype=dtype)
         for i in range(n_layers)
     ) + tuple(
         jnp.zeros((1, widths[i + 1]), dtype=dtype) for i in range(n_layers)
     )
     pl.run_scoped(
         scoped,
-        xbuf=pltpu.VMEM((2, d_in, chunk), dtype),
+        xbuf=pltpu.VMEM((2, dp, chunk), dtype),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
+_DP = 8  # padded feature rows: the HBM-streamed (n_chunks, d_in, chunk)
+# memref is sublane-tiled, and Mosaic requires DMA slices aligned to the
+# tile (observed: d_in=3 picks a (4,128) tiling and the slice fails).
+# Padding the feature dim to the f32 sublane tile (8) with zero rows —
+# and the first-layer weights to match — keeps every DMA tile-aligned with
+# no in-kernel slicing; the padded rows are exact zeros so the first-layer
+# matmul is unchanged.
+
+
 def _prep_residual_args(params, x, chunk, expect_d_in):
-    """Shared layout prep: pad, transpose to (n_chunks, d_in, chunk)."""
+    """Shared layout prep: pad features to _DP rows + points to a chunk
+    multiple, transpose to (n_chunks, _DP, chunk), zero-pad W0 rows."""
     x = jnp.asarray(x)
     n, d_in = x.shape
     if d_in != expect_d_in:
@@ -480,8 +492,18 @@ def _prep_residual_args(params, x, chunk, expect_d_in):
         x = jnp.concatenate(
             [x, jnp.zeros((n_pad - n, d_in), dtype=dtype)], axis=0
         )
-    xt = jnp.transpose(x.reshape(n_pad // chunk, chunk, d_in), (0, 2, 1))
+    if d_in < _DP:
+        x = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], _DP - d_in), dtype=dtype)], axis=1
+        )
+    xt = jnp.transpose(x.reshape(n_pad // chunk, chunk, _DP), (0, 2, 1))
     w_args = [jnp.asarray(p["kernel"], dtype=dtype) for p in params]
+    w0 = w_args[0]
+    if w0.shape[0] < _DP:
+        w_args[0] = jnp.concatenate(
+            [w0, jnp.zeros((_DP - w0.shape[0], w0.shape[1]), dtype=dtype)],
+            axis=0,
+        )
     b_args = [jnp.asarray(p["bias"], dtype=dtype)[None, :] for p in params]
     return xt, w_args, b_args, widths, n, dtype
 
@@ -542,8 +564,10 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM)
     ] * (1 + 2 * n_layers)
+    dp = max(widths[0], _DP)
     out_shape = [
-        jax.ShapeDtypeStruct((widths[i], widths[i + 1]), dtype)
+        jax.ShapeDtypeStruct((dp if i == 0 else widths[i], widths[i + 1]),
+                             dtype)
         for i in range(n_layers)
     ] + [
         jax.ShapeDtypeStruct((1, widths[i + 1]), dtype)
@@ -558,7 +582,7 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
         interpret=interpret,
     )(xt, *w_args, *b_args, gpad)
     dparams = [
-        {"kernel": outs[i], "bias": outs[n_layers + i][0]}
+        {"kernel": outs[i][: widths[i]], "bias": outs[n_layers + i][0]}
         for i in range(n_layers)
     ]
     return dparams

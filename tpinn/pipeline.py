@@ -124,12 +124,13 @@ class FusedNSResidualMSEs:
     """
 
     def __init__(self, model: Model, x, physics: "NSPhysics",
-                 norm: Normalization, np_tile: int = 4096):
+                 norm: Normalization, np_tile: int = 4096, mesh=None):
         self.model = model
         self.x = x
         self.physics = physics
         self.norm = norm
         self.np_tile = np_tile
+        self.mesh = mesh  # multi-chip: shard_map over the points axis
         self._memo = None  # (params_leaf_ref, mses)
 
     def mses(self):
@@ -141,10 +142,19 @@ class FusedNSResidualMSEs:
         leaf = params[0]["kernel"]
         if self._memo is not None and self._memo[0] is leaf:
             return self._memo[1]
-        m = ns_residual_mse(
-            params, self.x, self.physics, self.norm, np_tile=self.np_tile,
-            interpret=jax.default_backend() != "tpu",
-        )
+        interpret = jax.default_backend() != "tpu"
+        if self.mesh is not None:
+            from tpinn.sharding import sharded_ns_residual_mse
+
+            m = sharded_ns_residual_mse(
+                params, self.x, self.physics, self.norm, self.mesh,
+                np_tile=self.np_tile, interpret=interpret,
+            )
+        else:
+            m = ns_residual_mse(
+                params, self.x, self.physics, self.norm,
+                np_tile=self.np_tile, interpret=interpret,
+            )
         self._memo = (leaf, m)
         return m
 
@@ -160,10 +170,10 @@ class FusedNSResidualMSEs:
 def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
                          mesh=None) -> bool:
     """Default policy for routing the PDE losses through the fused Pallas
-    kernel: 2-D steady (x, y) or unsteady (t, x, y), plain tanh MLP,
-    single-chip (the single-instance kernel does not partition over a
-    mesh), TPU backend (or forced via TPINN_USE_PALLAS=1);
-    TPINN_USE_PALLAS=0 disables."""
+    kernel: 2-D steady (x, y) or unsteady (t, x, y), plain tanh MLP, TPU
+    backend (or forced via TPINN_USE_PALLAS=1); TPINN_USE_PALLAS=0
+    disables.  Under a device mesh the kernel runs per-shard via shard_map
+    with a pmean reduction (tpinn.sharding.sharded_ns_residual_mse)."""
     import os
 
     import jax
@@ -175,9 +185,7 @@ def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
         type(model).apply_single is Model.apply_single
         and model.activation_name == "tanh"
     )
-    eligible = (
-        dim_in == (3 if spec_unsteady else 2) and mesh is None and plain
-    )
+    eligible = dim_in == (3 if spec_unsteady else 2) and plain
     if not eligible:
         return False
     if env is not None:  # forced on (tests use interpret-mode-capable CPU)

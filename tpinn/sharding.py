@@ -86,3 +86,42 @@ def replicate(tree, mesh: Mesh):
     """Replicate a parameter pytree across the mesh."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def sharded_ns_residual_mse(params, x, physics, norm, mesh: Mesh,
+                            np_tile: int = 4096, interpret: bool = False):
+    """Multi-chip fused NS-residual MSEs: each device runs the Pallas kernel
+    (tpinn.pallas.ns_residual_mse) on its local point shard, and a single
+    ``pmean`` over the point axis combines the per-shard MSEs — equal shards
+    make the mean of local means the exact global MSE.  Gradients compose:
+    shard_map transposes the pmean into a cotangent split and psums the
+    replicated-parameter gradients over ICI.
+
+    ``x`` must divide the mesh ('points' axis); use :func:`shard_points`
+    (which pads) to place it.
+    """
+    from tpinn.pallas.mlp_bundle import ns_residual_mse
+
+    n = int(x.shape[0])
+    n_dev = int(mesh.devices.size)
+    if n % n_dev != 0:
+        raise ValueError(
+            f"point count {n} does not divide the {n_dev}-device mesh; "
+            "pad with shard_points first"
+        )
+
+    def local(p, xl):
+        m = ns_residual_mse(p, xl, physics, norm, np_tile=np_tile,
+                            interpret=interpret)
+        return jax.lax.pmean(m, POINT_AXIS)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.sharding.PartitionSpec(),
+                  jax.sharding.PartitionSpec(POINT_AXIS)),
+        out_specs=jax.sharding.PartitionSpec(),
+        # pallas_call's out ShapeDtypeStruct carries no varying-mesh-axes
+        # metadata; skip the vma check (correctness is pinned by
+        # tests/test_sharding.py equality vs the single-instance kernel)
+        check_vma=False,
+    )(params, x)
