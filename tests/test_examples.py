@@ -50,6 +50,30 @@ def test_poiseuille_no_pressure_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_poiseuille_adimensional_smoke(tmp_path):
+    # old nisaba-script API style: create_rhs, normalization=1e4 PDE losses
+    mod = load_example("examples/Poiseuille_Flow/poiseuille_adimensional.py")
+    pb, model = mod.main(epochs=30, save_plots=False, out_dir=str(tmp_path),
+                         second_round="jax")
+    d = pb.history.to_dict()
+    assert d["losses"]["PDE_MASS"]["weight"] == 1.0
+    assert "BCN_x1_u" in d["losses"] and "exact_p" in d["losses"]
+    assert pb.history.loss_global[-1] < pb.history.loss_global[0]
+    # the consistent adimensionalization: the exact solution must satisfy
+    # momentum-x, (1/Re)*u_yy == p_x (convection and v vanish identically) —
+    # checked with a central second difference of u_exact
+    import numpy as np
+
+    h = 1e-4
+    y = np.array([0.3, 0.5, 0.7]) * mod.H
+    pts = lambda yy: np.stack([0.5 * np.ones_like(yy), yy], axis=1)
+    u = lambda yy: np.asarray(mod.u_exact(pts(yy)))
+    u_yy = (u(y + h) - 2 * u(y) + u(y - h)) / h**2
+    p_x = mod.P_X
+    assert np.allclose(u_yy / mod.RE, p_x, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_colliding_pressmean_smoke(tmp_path):
     mod = load_example("examples/Colliding_Flow/colliding_flow_pressmean.py")
     pb, model = mod.main(epochs=30, out_dir=str(tmp_path), second_round="jax")
