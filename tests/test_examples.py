@@ -74,6 +74,30 @@ def test_poiseuille_adimensional_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_cavity_steady_csv_smoke(tmp_path):
+    # old nisaba-script API style: CSV positional slices, 32/32/64 arch,
+    # press_mode switch, Saved_Model save/load round-trip
+    mod = load_example("examples/Cavity_Steady/cavity_steady_csv.py")
+    pb, model = mod.main(epochs=20, save_plots=False, out_dir=str(tmp_path),
+                         second_round="jax", press_mode="Mean",
+                         save_mode=True, model_name_save="smoke")
+    d = pb.history.to_dict()
+    assert d["losses"]["PDE_MASS"]["weight"] == 1e-2
+    assert "MEAN_p" in d["losses"] and "COL_p" not in d["losses"]
+    assert model.layer_sizes == (2, 32, 32, 64, 3)
+    assert pb.history.loss_global[-1] < pb.history.loss_global[0]
+    # load_mode: reload the saved Keras-layout files (reference :272-279)
+    pb2, model2 = mod.main(load_mode=True, model_name_load="smoke",
+                           save_plots=False, out_dir=str(tmp_path))
+    import numpy as np
+
+    assert model2.layer_sizes == (2, 32, 32, 64, 3)
+    a = np.asarray(model.params[0]["kernel"])
+    b = np.asarray(model2.params[0]["kernel"])
+    assert np.allclose(a, b)
+
+
+@pytest.mark.slow
 def test_colliding_pressmean_smoke(tmp_path):
     mod = load_example("examples/Colliding_Flow/colliding_flow_pressmean.py")
     pb, model = mod.main(epochs=30, out_dir=str(tmp_path), second_round="jax")

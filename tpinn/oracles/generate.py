@@ -36,7 +36,13 @@ def generate_cavity_steady(
     folder = os.path.join(out_dir, "SteadyCase")
     h5_path = os.path.join(folder, "navier-stokes_cavity_steady.h5")
     csv_path = os.path.join(folder, "navier-stokes_cavity_steady_r.csv")
+    rand_csv_path = os.path.join(folder, "navier-stokes_cavity_steady.csv")
     if os.path.exists(h5_path) and os.path.exists(csv_path):
+        if not os.path.exists(rand_csv_path):
+            # derive the random-point csv from the CACHED h5 fields (keeps
+            # all three files consistent with whatever solve produced them)
+            u_o, v_o, p_o = io.read_fields_h5(h5_path)
+            _write_random_csv(rand_csv_path, u_o, v_o, p_o, n_out)
         return folder
 
     re = U * 1.0 / nu
@@ -64,7 +70,28 @@ def generate_cavity_steady(
         cavity.interpolate_vertex_field(v, n_solver, xg, yg),
         cavity.interpolate_vertex_field(p, n_solver, xg, yg),
     )
+
+    _write_random_csv(rand_csv_path, u_o, v_o, p_o, n_out)
     return folder
+
+
+def _write_random_csv(path, u_o, v_o, p_o, n_out: int,
+                      n_points: int = 5000) -> None:
+    """Random-point csv (fluid_solver_steady.py:106-118) — the file the old
+    CSV-driven driver slices positionally into PDE/col/test/pres sets.
+    Sampled (seeded) from the (n_out+1)² vertex fields so it is always
+    consistent with the cached h5."""
+    rng = np.random.default_rng(0)
+    xr = rng.random(n_points)
+    yr = rng.random(n_points)
+    io.write_regular_csv(
+        path,
+        xr,
+        yr,
+        cavity.interpolate_vertex_field(u_o, n_out, xr, yr),
+        cavity.interpolate_vertex_field(v_o, n_out, xr, yr),
+        cavity.interpolate_vertex_field(p_o, n_out, xr, yr),
+    )
 
 
 def generate_cavity_unsteady(
