@@ -98,6 +98,21 @@ def test_cavity_steady_csv_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_cavity_unsteady_old_smoke(tmp_path):
+    # old nisaba-script API style: random.sample space-time subsets, CI_p
+    # initial-pressure pin, per-group enable flags, mixed normalizations
+    mod = load_example("examples/Cavity_Unsteady/cavity_unsteady_old.py")
+    pb, model = mod.main(epochs=15, second_round="jax", save_plots=False,
+                         out_dir=str(tmp_path), num_PDE=300, num_BC=60,
+                         num_CI=100, num_col=60, num_pres=60, num_test=200)
+    d = pb.history.to_dict()
+    assert d["losses"]["PDE_MASS"]["weight"] == 1e-2
+    assert "CI_p" in d["losses"] and "COL_p" in d["losses"]
+    assert model.layer_sizes == (3, 32, 32, 32, 3)
+    assert pb.history.loss_global[-1] < pb.history.loss_global[0]
+
+
+@pytest.mark.slow
 def test_colliding_pressmean_smoke(tmp_path):
     mod = load_example("examples/Colliding_Flow/colliding_flow_pressmean.py")
     pb, model = mod.main(epochs=30, out_dir=str(tmp_path), second_round="jax")

@@ -106,15 +106,31 @@ def generate_cavity_unsteady(
     folder = os.path.join(out_dir, "UnsteadyCase")
     n_times = int(round(T / dt))
     last = io.unsteady_h5_path(folder, n_times - 1)
+    csv_path = os.path.join(folder, "navier-stokes_SI_cavity_unsteady_r.csv")
     if os.path.exists(last):
+        if not os.path.exists(csv_path):
+            # derive the regular-grid csv from the CACHED h5 series (the csv
+            # is gitignored like the reference's FEM outputs; keep it
+            # consistent with whatever solve produced the h5 files)
+            times = [it * dt for it in range(n_times)]
+            snaps = [
+                io.read_fields_h5(io.unsteady_h5_path(folder, it))
+                for it in range(n_times)
+            ]
+            _write_unsteady_regular_csv(csv_path, times, snaps, n)
         return folder
     times, snaps = cavity.solve_cavity_unsteady(
         nu=nu, lid_velocity=U, t_end=T, dt_out=dt, n=n
     )
     io.write_unsteady_series_h5(folder, snaps)
-    # concatenated regular-grid csv with a leading t column (reference
-    # fluid_solver_unsteady.py:71-84 writes ..._r.csv consumed by the
-    # driver's per-time-slice post-processing)
+    _write_unsteady_regular_csv(csv_path, times, snaps, n)
+    return folder
+
+
+def _write_unsteady_regular_csv(csv_path, times, snaps, n: int) -> None:
+    """Concatenated regular-grid csv with a leading t column (reference
+    fluid_solver_unsteady.py:71-84 writes ..._r.csv consumed by the drivers'
+    per-time-slice post-processing)."""
     xs = np.linspace(0, 1, 100)
     xg = np.array([x for y in xs for x in xs])
     yg = np.array([y for y in xs for x in xs])
@@ -127,12 +143,11 @@ def generate_cavity_unsteady(
         cols_v.append(cavity.interpolate_vertex_field(v, n, xg, yg))
         cols_p.append(cavity.interpolate_vertex_field(p, n, xg, yg))
     io.write_regular_csv(
-        os.path.join(folder, "navier-stokes_SI_cavity_unsteady_r.csv"),
+        csv_path,
         np.concatenate(cols_x), np.concatenate(cols_y),
         np.concatenate(cols_u), np.concatenate(cols_v),
         np.concatenate(cols_p), t=np.concatenate(cols_t),
     )
-    return folder
 
 
 def main(argv=None):
