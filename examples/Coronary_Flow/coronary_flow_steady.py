@@ -83,7 +83,7 @@ def default_options() -> SimulationOptions:
 
 
 def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
-         seed=0, resume_from=None):
+         seed=0, resume_from=None, refine=0, noise_bnd=None):
     cwd = base_dir or HERE
     msh_path, bpts_path = _asset_paths(cwd)
     opts_file = os.path.join(cwd, "simulation_options.txt")
@@ -91,10 +91,13 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
             if os.path.exists(opts_file) else default_options())
     if epochs is not None:
         opts.epochs = epochs
+    if noise_bnd is not None:  # reference run #123 uses 0.01
+        opts.noise_bnd = noise_bnd
 
     # ----- mesh + oracle data (generated and cached on first run)
     data_dir = os.path.join(cwd, "data")
-    folder_h5 = coro.generate_coronary(data_dir, msh_path, bpts_path, PRM)
+    folder_h5 = coro.generate_coronary(data_dir, msh_path, bpts_path, PRM,
+                                       refine=refine)
     h5_path = os.path.join(folder_h5, "steady_coronary_steady.h5")
     dtype = ns.config.get_dtype()
     nodes = oio.read_mesh_geometry_h5(h5_path)
@@ -128,6 +131,14 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         jnp.take(sol_norm[0], iv) + generate_noise(kf[0], len(iv), opts.noise_fit),
         jnp.take(sol_norm[1], iv) + generate_noise(kf[1], len(iv), opts.noise_fit),
     ]
+    if opts.noise_bnd:
+        # boundary-target noise (reference :162-163: every Dirichlet group's
+        # bnd_val gets noise_factor_bnd * N(0,1) per component)
+        kb = jax.random.split(jax.random.fold_in(k_noise, 1), 4)
+        for ki, (comp, grp) in enumerate(
+                [(0, "NOSL"), (1, "NOSL"), (0, "INF"), (1, "INF")]):
+            bnd_val[comp][grp] = bnd_val[comp][grp] + generate_noise(
+                kb[ki], bnd_val[comp][grp].shape[0], opts.noise_bnd)
 
     # ----- model + losses (mesh bounding box folds input normalization
     # into the layer-0 init, see tpinn.models.Model.init)
@@ -243,7 +254,13 @@ if __name__ == "__main__":
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None, metavar="FOLDER")
+    ap.add_argument("--refine", type=int, default=0,
+                    help="oracle mesh refinement levels (data folder "
+                         "SteadyCase_r<k>)")
+    ap.add_argument("--noise-bnd", type=float, default=None,
+                    help="boundary-target noise factor (reference #123: 0.01)")
     args = ap.parse_args()
     main(args.epochs, save_results=not args.scratch,
          second_round=args.second_round, seed=args.seed,
-         resume_from=args.resume)
+         resume_from=args.resume, refine=args.refine,
+         noise_bnd=args.noise_bnd)

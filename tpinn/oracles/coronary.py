@@ -224,8 +224,15 @@ def generate_coronary(
     """Write steady_coronary_steady.h5 + bpoints.npy in the reference layout
     (coronary_flow_steady.py:90-119,141).  bpoints are derived from the mesh
     (generate_bpoints) unless an explicit file is given — the L0 stage has no
-    reference-data dependency."""
-    folder = os.path.join(out_dir, "SteadyCase")
+    reference-data dependency.
+
+    ``refine`` levels of red refinement before solving go to a separate
+    ``SteadyCase_r<k>`` folder (fields restricted back to the driver's
+    original node set), so refined data never silently replaces the data an
+    existing campaign trained on."""
+    folder = os.path.join(
+        out_dir, "SteadyCase" if not refine else f"SteadyCase_r{int(refine)}"
+    )
     h5_path = os.path.join(folder, "steady_coronary_steady.h5")
     bp_out = os.path.join(folder, "bpoints.npy")
     if os.path.exists(h5_path) and os.path.exists(bp_out):
