@@ -129,6 +129,33 @@ def test_h5_roundtrip(tmp_path):
     np.testing.assert_array_equal(io.read_mesh_geometry_h5(path), geo)
 
 
+def test_random_csv_derived_from_cached_h5(tmp_path):
+    # generate.py: when the steady h5 is cached but the random-5000-pt csv
+    # is missing, the csv must be derived from the CACHED fields (not a
+    # fresh solve), so all layouts stay mutually consistent
+    from tpinn.oracles import generate
+
+    n_out = 100
+    xq, yq = cavity.vertex_grid(n_out)
+    u = 2.0 * xq + yq
+    v = xq - yq
+    p = 3.0 * xq
+    folder = tmp_path / "SteadyCase"
+    io.write_fields_h5(folder / "navier-stokes_cavity_steady.h5", u, v, p,
+                       geometry=np.stack([xq, yq], axis=-1))
+    io.write_regular_csv(folder / "navier-stokes_cavity_steady_r.csv",
+                         xq, yq, u, v, p)
+    out = generate.generate_cavity_steady(str(tmp_path))
+    csv = io.read_regular_csv(
+        folder / "navier-stokes_cavity_steady.csv")
+    assert out == str(folder)
+    assert len(csv["x"]) == 5000
+    # bilinear interpolation reproduces affine fields exactly
+    np.testing.assert_allclose(csv["ux"], 2 * csv["x"] + csv["y"],
+                               atol=1e-12)
+    np.testing.assert_allclose(csv["p"], 3 * csv["x"], atol=1e-12)
+
+
 def test_unsteady_series_roundtrip(tmp_path):
     snaps = [
         (np.full(5, i), np.full(5, -i), np.arange(5.0) + i) for i in range(3)
