@@ -195,7 +195,16 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
     if resume_from is not None:
         from tpinn.history import History
 
-        model.load_weights(os.path.join(resume_from, "Weights.h5"))
+        weights_path = os.path.join(resume_from, "Weights.h5")
+        model.load_weights(weights_path)
+        ckpt_path = os.path.join(resume_from, "checkpoint.pkl")
+        if (os.path.exists(ckpt_path)
+                and os.path.getmtime(ckpt_path) > os.path.getmtime(weights_path)):
+            # a killed round leaves checkpoint.pkl ahead of the final-save
+            # Weights.h5 — resume from the fresher crash-recovery state
+            from tpinn.checkpoint import load_checkpoint
+
+            model.variables.set(load_checkpoint(ckpt_path)["params"])
         hist_path = os.path.join(resume_from, "History_Loss.json")
         if os.path.exists(hist_path):
             pb.history = History.load(hist_path)
@@ -205,6 +214,10 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         filename=os.path.join(folder, "Loss_Trend_Full.png"),
         filename_history=os.path.join(folder, "History_Loss.json"),
     ))
+    # periodic full-state flush: a killed long round can resume from
+    # checkpoint.pkl instead of losing everything since the last Weights.h5
+    pb.callbacks.append(ns.utils.CheckpointCallback(
+        os.path.join(folder, "checkpoint.pkl"), frequency=100))
     if resume_from is None:
         ns.minimize(pb, "keras", ns.optimizers.Adam(learning_rate=1e-2), num_epochs=100)
     if second_round == "scipy":
@@ -213,6 +226,9 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         ns.minimize(pb, "jax", "L-BFGS", num_epochs=opts.epochs)
     elif second_round in ("jax-bfgs", "bfgs"):
         ns.minimize(pb, "jax", "BFGS", num_epochs=opts.epochs)
+    elif second_round in ("lm", "jax-lm", "gn"):
+        # Levenberg–Marquardt: epochs = LM iterations (tens suffice)
+        ns.minimize(pb, "jax", "LM", num_epochs=opts.epochs)
     elif second_round == "adam":
         import optax
 
@@ -250,7 +266,7 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "adam", "none"])
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "lm", "adam", "none"])
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None, metavar="FOLDER")

@@ -102,7 +102,7 @@ def main(epochs: int = 500, save_plots: bool = True, out_dir: str = None,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=500)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs"])
+    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "lm"])
     ap.add_argument("--no-plots", action="store_true")
     args = ap.parse_args()
     main(args.epochs, save_plots=not args.no_plots, second_round=args.second_round)

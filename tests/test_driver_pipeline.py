@@ -240,3 +240,26 @@ def test_driver_resume_appends_rounds(tmp_path):
     assert h2.loss_global[-1] <= d1.pb.history.loss_global[-1] * 1.0001
     # resumed run wrote into the SAME folder
     assert d2.folder == folder
+
+    # crash recovery: a checkpoint.pkl NEWER than Weights.h5 (periodic flush
+    # of a killed round) must win over the stale final weights
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from tpinn import checkpoint as ckpt
+
+    marked = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + 0.125, d2.model.current_params
+    )
+    _time.sleep(0.05)
+    ckpt.save_checkpoint(os.path.join(folder, "checkpoint.pkl"), marked)
+    os.utime(os.path.join(folder, "Weights.h5"),
+             (_time.time() - 10, _time.time() - 10))
+    d3 = make_driver("none")
+    d3.train(resume_from=folder, callbacks=False)
+    got = d3.model.current_params
+    np.testing.assert_allclose(
+        np.asarray(got[0]["kernel"]), np.asarray(marked[0]["kernel"])
+    )

@@ -50,3 +50,43 @@ def test_jax_lbfgs_converges_quadratic():
     ns.minimize(pb, "jax", "L-BFGS", num_epochs=30)
     assert pb.history.round_names == ["jax_L-BFGS"]
     assert pb.history.loss_global[-1] < 1e-10
+
+
+def test_jax_lm_converges_quadratic():
+    # Gauss–Newton is exact on a linear least-squares problem: one accepted
+    # step per damping level; a handful of iterations reach machine floor
+    model, pb = _make_problem()
+    ns.minimize(pb, "jax", "LM", num_epochs=10, chunk=4)
+    assert pb.history.round_names == ["jax_LM"]
+    assert pb.history.loss_global[-1] < 1e-20
+    kernel = np.asarray(model.params[0]["kernel"])[0]
+    bias = np.asarray(model.params[0]["bias"])
+    np.testing.assert_allclose(kernel + bias, [2.0, 7.0], atol=1e-8)
+
+
+def test_jax_lm_rejects_non_mse_losses():
+    import pytest
+
+    model, pb = _make_problem()
+    pb.losses.append(ns.Loss("gauge", lambda: jnp.array(0.0)))
+    with pytest.raises(ValueError, match="LossMeanSquares"):
+        ns.minimize(pb, "jax", "LM", num_epochs=3)
+
+
+def test_jax_lm_nonlinear_pinn_class():
+    # tanh MLP fit (nonlinear in params): LM must still descend fast
+    import jax
+
+    model = Model([1, 8, 1], seed=0)
+    x = jnp.linspace(-1, 1, 32).reshape(-1, 1)
+    target = jnp.sin(3 * x[:, 0])
+    pb = ns.OptimizationProblem(
+        model.variables,
+        [ns.LossMeanSquares("fit", lambda: model(x)[:, 0] - target)],
+        [],
+    )
+    ns.minimize(pb, "jax", "LM", num_epochs=40, chunk=8)
+    # width-8 capacity floor is ~1e-5 on sin(3x); LM must reach it from a
+    # cold start within 40 iterations (Adam needs thousands)
+    assert pb.history.loss_global[-1] < 5e-5
+    assert pb.history.loss_global[-1] < 1e-3 * pb.history.loss_global[0]

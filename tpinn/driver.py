@@ -398,7 +398,17 @@ class StandardNSDriver:
         if resume_from is not None:
             from tpinn.history import History
 
-            self.model.load_weights(os.path.join(resume_from, "Weights.h5"))
+            weights_path = os.path.join(resume_from, "Weights.h5")
+            self.model.load_weights(weights_path)
+            ckpt_path = os.path.join(resume_from, "checkpoint.pkl")
+            if (os.path.exists(ckpt_path)
+                    and os.path.getmtime(ckpt_path)
+                    > os.path.getmtime(weights_path)):
+                # a killed round leaves checkpoint.pkl ahead of the final
+                # Weights.h5 — resume from the fresher crash-recovery state
+                from tpinn.checkpoint import load_checkpoint
+
+                self.model.variables.set(load_checkpoint(ckpt_path)["params"])
             hist_path = os.path.join(resume_from, "History_Loss.json")
             if os.path.exists(hist_path):
                 pb.history = History.load(hist_path)
@@ -431,6 +441,10 @@ class StandardNSDriver:
         elif self.second_round in ("jax-bfgs", "bfgs"):
             # dense on-device BFGS: scipy-class convergence, no host loop
             minimize(pb, "jax", "BFGS", num_epochs=epochs)
+        elif self.second_round in ("lm", "jax-lm", "gn"):
+            # Levenberg–Marquardt: tens of iterations where (L-)BFGS needs
+            # 1e4–1e5 — epochs here means LM iterations
+            minimize(pb, "jax", "LM", num_epochs=epochs)
         elif self.second_round == "adam":
             # long first-order round (hybrid stage A: float32 TPU): cosine
             # decay from adam_lr down to adam_lr/1000

@@ -377,6 +377,152 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
 
 
 # ---------------------------------------------------------------------------
+# Gauss–Newton / Levenberg–Marquardt round (TPU-native second-order)
+# ---------------------------------------------------------------------------
+
+
+def _flat_residual_fn(pb):
+    """θ (flat) -> stacked residual vector R with  ||R(θ)||² == loss_global.
+
+    Each LossMeanSquares contributes sqrt(weight/N)·(r/normalization) — so
+    Σ wᵢ·mean((rᵢ/normᵢ)²) = ||R||² exactly, and the damped normal equations
+    (JᵀJ + λdiag)δ = −JᵀR minimize the same objective every other round uses.
+    """
+    from tpinn.losses import LossMeanSquares
+    from tpinn.tape import as_value
+
+    for loss in pb.losses:
+        if type(loss) is not LossMeanSquares:
+            raise ValueError(
+                "minimize(pb, 'jax', 'LM') requires every training loss to "
+                "expose a residual vector (LossMeanSquares); "
+                f"{loss.name!r} is {type(loss).__name__}. Use 'jax'/'scipy' "
+                "BFGS for problems with scalar/fused losses."
+            )
+    params0 = pb.variables.get()
+    theta0, unravel = ravel_pytree(params0)
+
+    def residuals(theta):
+        params = unravel(theta)
+        with pb.variables.bind(params):
+            parts = []
+            for loss in pb.losses:
+                r = jnp.asarray(as_value(loss.fn())) / loss.normalization
+                r = r.reshape(-1)
+                parts.append(jnp.sqrt(loss.weight / r.size) * r)
+        return jnp.concatenate(parts)
+
+    return theta0, unravel, residuals
+
+
+def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
+                     verbose: bool = False):
+    """Levenberg–Marquardt: damped Gauss–Newton on the stacked residuals.
+
+    The PINN objective is a genuine small-parameter least-squares problem
+    (P ≈ 2.3k for the reference architecture), which quasi-Newton methods
+    crawl through (the recorded campaigns needed 1e4–1e5 BFGS iterations);
+    LM reaches the same basin in tens of iterations.  Per iteration:
+
+    * J (P×N) by chunked vmap-of-jvp — one SMALL jitted chunk function
+      called from the host per tangent block (a monolithic fused
+      jacobian+matmul graph was measured to explode XLA compile time on the
+      jet-based NS residuals); on TPU the chunk is a batch of MXU matmuls
+      over the tangent axis;
+    * JᵀJ accumulated chunk-by-chunk (never materializes J);
+    * one host eigendecomposition of JᵀJ (P×P, LAPACK), after which the
+      damped solve δ(λ) = −V (Λ+λ)⁻¹ Vᵀ JᵀR costs O(P²) for ANY λ — the
+      damping search re-solves without re-factorizing;
+    * accept/reject with multiplicative damping adaptation (Marquardt).
+
+    Logged as round ``jax_LM`` at the standard stride.  Stops early when the
+    damping saturates with no acceptable step (converged to the floor).
+    """
+    theta0, unravel, residuals = _flat_residual_fn(pb)
+    n_par = theta0.shape[0]
+    dtype = theta0.dtype
+    eval_fn = pb.eval_jit()
+    loss_fn = jax.jit(lambda th: pb.loss_fn(unravel(th)))
+    res_jit = jax.jit(residuals)
+
+    n_chunks = -(-n_par // chunk)
+    pad = n_chunks * chunk - n_par
+    eye = np.eye(n_par, dtype=np.result_type(dtype))
+    if pad:
+        eye = np.concatenate(
+            [eye, np.zeros((pad, n_par), dtype=eye.dtype)], axis=0
+        )
+    basis_chunks = [
+        jnp.asarray(eye[i * chunk:(i + 1) * chunk]) for i in range(n_chunks)
+    ]
+
+    @jax.jit
+    def jac_chunk(theta, vs):
+        """(chunk, N) block of J rows for one block of parameter tangents."""
+        return jax.vmap(lambda v: jax.jvp(residuals, (theta,), (v,))[1])(vs)
+
+    @jax.jit
+    def gram(Jt, r):
+        return Jt @ Jt.T, Jt @ r
+
+    def normal_eqs(theta):
+        """loss, JᵀJ (host), JᵀR (host) — chunked, host-driven."""
+        r = res_jit(theta)
+        rows_list = [jac_chunk(theta, vs) for vs in basis_chunks]
+        Jt = jnp.concatenate(rows_list, axis=0)[:n_par]
+        JTJ, JTr = gram(Jt, r)
+        return float(jnp.dot(r, r)), np.asarray(JTJ), np.asarray(JTr)
+
+    pb.history.start_round("jax_LM")
+    pb.last_round_name = "jax_LM"
+    t0 = time.perf_counter()
+    _log_point(pb, eval_fn, unravel(theta0), 0)
+
+    theta = theta0
+    f_cur = float(loss_fn(theta))
+    mu = 1e-3  # relative damping: λ = mu·max(w)
+    log_targets = set(_log_iters(num_epochs, LOG_STRIDE)[1:])
+    converged = False
+    for it in range(1, num_epochs + 1):
+        t_it = time.perf_counter()
+        _, JTJ, JTr = normal_eqs(theta)
+        w, V = np.linalg.eigh(JTJ)  # host LAPACK
+        w = np.maximum(w, 0.0)
+        w_max = float(w[-1]) if w.size else 0.0
+        if not np.isfinite(w_max) or w_max <= 0:
+            converged = True
+        accepted = False
+        c = V.T @ JTr
+        while not converged:
+            lam = mu * w_max + np.finfo(np.float64).tiny
+            delta = jnp.asarray(-(V @ (c / (w + lam))), dtype)
+            f_new = float(loss_fn(theta + delta))
+            if np.isfinite(f_new) and f_new < f_cur:
+                theta = theta + delta
+                f_cur = f_new
+                mu = max(mu / 3.0, 1e-14)
+                accepted = True
+                break
+            mu *= 10.0
+            if mu > 1e12:  # no damping yields progress: at the floor
+                converged = True
+        pb.last_opt_state = (theta, mu)
+        if verbose:
+            print(f"  LM iter {it}: loss {f_cur:.3e}, mu {mu:.1e}, "
+                  f"{time.perf_counter() - t_it:.1f}s", flush=True)
+        if it in log_targets or converged or not accepted:
+            _log_point(pb, eval_fn, unravel(theta), it)
+        if converged:
+            break
+
+    params = unravel(theta)
+    pb.variables.set(params)
+    pb.history.add_wall_time(time.perf_counter() - t0)
+    pb.fire_callbacks(pb.history.iters[-1], force=True)
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Public entry point
 # ---------------------------------------------------------------------------
 
@@ -403,7 +549,10 @@ def minimize(
         return _minimize_scipy(pb, method, num_epochs)
     if strategy in ("jax", "lbfgs"):
         method = optimizer if isinstance(optimizer, str) else "L-BFGS"
-        if method.upper().replace("-", "") == "BFGS":
+        key = method.upper().replace("-", "").replace("_", "")
+        if key == "BFGS":
             return _minimize_jax_bfgs(pb, num_epochs)
+        if key in ("LM", "GN", "LEVENBERGMARQUARDT", "GAUSSNEWTON"):
+            return _minimize_jax_lm(pb, num_epochs, **kwargs)
         return _minimize_jax_lbfgs(pb, num_epochs, **kwargs)
     raise ValueError(f"unknown strategy {strategy!r}")
