@@ -85,6 +85,8 @@ def main(epochs: int = 7500, save_plots: bool = True, out_dir: str = None,
         ns.minimize(pb, "scipy", "L-BFGS-B", num_epochs=epochs)
     elif second_round in ("jax-bfgs", "bfgs"):
         ns.minimize(pb, "jax", "BFGS", num_epochs=epochs)
+    elif second_round in ("lm", "jax-lm", "gn"):
+        ns.minimize(pb, "jax", "LM", num_epochs=epochs)
     else:
         ns.minimize(pb, "jax", "L-BFGS", num_epochs=epochs)
 
