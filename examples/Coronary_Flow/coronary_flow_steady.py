@@ -202,9 +202,12 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
                 and os.path.getmtime(ckpt_path) > os.path.getmtime(weights_path)):
             # a killed round leaves checkpoint.pkl ahead of the final-save
             # Weights.h5 — resume from the fresher crash-recovery state
+            # (cast to the model dtype: stage-A checkpoints are float32)
             from tpinn.checkpoint import load_checkpoint
 
-            model.variables.set(load_checkpoint(ckpt_path)["params"])
+            state = load_checkpoint(ckpt_path)["params"]
+            model.variables.set(jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, model.dtype), state))
         hist_path = os.path.join(resume_from, "History_Loss.json")
         if os.path.exists(hist_path):
             pb.history = History.load(hist_path)

@@ -250,8 +250,11 @@ def test_driver_resume_appends_rounds(tmp_path):
 
     from tpinn import checkpoint as ckpt
 
+    # float32 like a TPU stage-A flush: the recovery path must cast back to
+    # the resuming model's dtype (an uncast f32 tree crashes the f64 rounds)
     marked = jax.tree_util.tree_map(
-        lambda a: np.asarray(a) + 0.125, d2.model.current_params
+        lambda a: (np.asarray(a) + 0.125).astype(np.float32),
+        d2.model.current_params,
     )
     _time.sleep(0.05)
     ckpt.save_checkpoint(os.path.join(folder, "checkpoint.pkl"), marked)
@@ -260,6 +263,7 @@ def test_driver_resume_appends_rounds(tmp_path):
     d3 = make_driver("none")
     d3.train(resume_from=folder, callbacks=False)
     got = d3.model.current_params
+    assert jnp.asarray(got[0]["kernel"]).dtype == d3.model.dtype
     np.testing.assert_allclose(
         np.asarray(got[0]["kernel"]), np.asarray(marked[0]["kernel"])
     )

@@ -406,9 +406,13 @@ class StandardNSDriver:
                     > os.path.getmtime(weights_path)):
                 # a killed round leaves checkpoint.pkl ahead of the final
                 # Weights.h5 — resume from the fresher crash-recovery state
+                # (cast to the model dtype: stage-A checkpoints are float32,
+                # the f64 polish stage must not inherit their dtype)
                 from tpinn.checkpoint import load_checkpoint
 
-                self.model.variables.set(load_checkpoint(ckpt_path)["params"])
+                state = load_checkpoint(ckpt_path)["params"]
+                self.model.variables.set(jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, self.model.dtype), state))
             hist_path = os.path.join(resume_from, "History_Loss.json")
             if os.path.exists(hist_path):
                 pb.history = History.load(hist_path)
