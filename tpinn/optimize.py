@@ -442,8 +442,20 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     n_par = theta0.shape[0]
     dtype = theta0.dtype
     eval_fn = pb.eval_jit()
-    loss_fn = jax.jit(lambda th: pb.loss_fn(unravel(th)))
-    res_jit = jax.jit(residuals)
+
+    # accept/reject needs loss evaluations whose noise is far below the step
+    # decrease.  On TPU the default f32 matmul runs through bfloat16 passes,
+    # giving ~1e-3 relative evaluation jitter — measured to reject EVERY LM
+    # step at loss 0.066 on the coronary case.  Force full-f32 accumulation
+    # for the LM round's evaluations and Jacobian.
+    def _hp(fn):
+        def wrapped(*args):
+            with jax.default_matmul_precision("highest"):
+                return fn(*args)
+        return jax.jit(wrapped)
+
+    loss_fn = _hp(lambda th: pb.loss_fn(unravel(th)))
+    res_jit = _hp(residuals)
 
     n_chunks = -(-n_par // chunk)
     pad = n_chunks * chunk - n_par
@@ -456,14 +468,13 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
         jnp.asarray(eye[i * chunk:(i + 1) * chunk]) for i in range(n_chunks)
     ]
 
-    @jax.jit
-    def jac_chunk(theta, vs):
-        """(chunk, N) block of J rows for one block of parameter tangents."""
-        return jax.vmap(lambda v: jax.jvp(residuals, (theta,), (v,))[1])(vs)
-
-    @jax.jit
-    def gram(Jt, r):
-        return Jt @ Jt.T, Jt @ r
+    # (chunk, N) block of J rows for one block of parameter tangents
+    jac_chunk = _hp(
+        lambda theta, vs: jax.vmap(
+            lambda v: jax.jvp(residuals, (theta,), (v,))[1]
+        )(vs)
+    )
+    gram = _hp(lambda Jt, r: (Jt @ Jt.T, Jt @ r))
 
     def normal_eqs(theta):
         """loss, JᵀJ (host), JᵀR (host) — chunked, host-driven."""
