@@ -548,22 +548,29 @@ def minimize(
     """Run one optimization round; appends to pb.history and updates params.
 
     strategy: 'keras' (alias 'adam') | 'scipy' | 'jax' (alias 'lbfgs').
+
+    Every round traces its jitted step under full-f32 matmul accumulation:
+    TPU's default bf16 matmul passes inject ~1e-3 relative noise into the
+    PDE residuals (cancellation amplifies the rounding) — measured to reject
+    every LM step and to corrupt quasi-Newton curvature pairs at f32.  The
+    context is a no-op on CPU and for f64.
     """
     strategy = strategy.lower()
-    if strategy in ("keras", "adam"):
-        name = getattr(optimizer, "name", None) or "Adam"
-        return _minimize_first_order(
-            pb, optimizer, num_epochs, round_name=f"keras_{name}"
-        )
-    if strategy == "scipy":
-        method = optimizer if isinstance(optimizer, str) else "BFGS"
-        return _minimize_scipy(pb, method, num_epochs)
-    if strategy in ("jax", "lbfgs"):
-        method = optimizer if isinstance(optimizer, str) else "L-BFGS"
-        key = method.upper().replace("-", "").replace("_", "")
-        if key == "BFGS":
-            return _minimize_jax_bfgs(pb, num_epochs)
-        if key in ("LM", "GN", "LEVENBERGMARQUARDT", "GAUSSNEWTON"):
-            return _minimize_jax_lm(pb, num_epochs, **kwargs)
-        return _minimize_jax_lbfgs(pb, num_epochs, **kwargs)
+    with jax.default_matmul_precision("highest"):
+        if strategy in ("keras", "adam"):
+            name = getattr(optimizer, "name", None) or "Adam"
+            return _minimize_first_order(
+                pb, optimizer, num_epochs, round_name=f"keras_{name}"
+            )
+        if strategy == "scipy":
+            method = optimizer if isinstance(optimizer, str) else "BFGS"
+            return _minimize_scipy(pb, method, num_epochs)
+        if strategy in ("jax", "lbfgs"):
+            method = optimizer if isinstance(optimizer, str) else "L-BFGS"
+            key = method.upper().replace("-", "").replace("_", "")
+            if key == "BFGS":
+                return _minimize_jax_bfgs(pb, num_epochs)
+            if key in ("LM", "GN", "LEVENBERGMARQUARDT", "GAUSSNEWTON"):
+                return _minimize_jax_lm(pb, num_epochs, **kwargs)
+            return _minimize_jax_lbfgs(pb, num_epochs, **kwargs)
     raise ValueError(f"unknown strategy {strategy!r}")

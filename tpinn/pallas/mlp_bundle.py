@@ -42,6 +42,17 @@ def pallas_available() -> bool:
         return False
 
 
+def _high_precision_ambient() -> bool:
+    """True when tracing under jax.default_matmul_precision('highest'/
+    'float32').  tpinn.optimize.minimize wraps every round in that context
+    (bf16 matmul passes inject ~1e-3 loss jitter that breaks quasi-Newton
+    accept tests); Mosaic then emits multi-pass f32 matmuls whose scoped
+    VMEM scratch is ~4-6x larger — measured 22M vs the 16M limit at
+    chunk=2048 — so the streamed kernels must shrink their chunk."""
+    prec = jax.config.jax_default_matmul_precision
+    return prec is not None and str(prec).lower() in ("highest", "float32")
+
+
 def _kernel(x_ref, *refs, dim: int, widths: Sequence[int], np_tile: int):
     import jax.experimental.pallas as pl  # noqa: F401
 
@@ -519,6 +530,8 @@ def _ns_mse_forward(params, x, phys, chunk, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if _high_precision_ambient():
+        chunk = min(chunk, 512)
     spatial, expect_d_in = _phys_layout(phys)
     xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
         params, x, chunk, expect_d_in
@@ -548,7 +561,7 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
     # the whole chunk (~4.5 KB/point at width 32); cap the chunk so the
     # working set stays inside the ~16 MB scoped VMEM budget.  The batch
     # itself streams from HBM, so this cap is independent of batch size.
-    chunk = min(chunk, 2048)
+    chunk = min(chunk, 512 if _high_precision_ambient() else 2048)
     spatial, expect_d_in = _phys_layout(phys)
     xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
         params, x, chunk, expect_d_in

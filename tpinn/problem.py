@@ -73,12 +73,27 @@ class OptimizationProblem:
 
     def value_and_grad(self):
         if self._value_and_grad_fn is None:
-            self._value_and_grad_fn = jax.jit(jax.value_and_grad(self.loss_fn))
+            vg = jax.value_and_grad(self.loss_fn)
+
+            def hp_vg(params):
+                # full-f32 matmul accumulation: TPU's default bf16 matmul
+                # passes inject ~1e-3 relative noise into the PDE residuals
+                # (cancellation amplifies the rounding), which corrupts
+                # quasi-Newton line searches and Adam gradients alike.
+                # 'highest' is a no-op on CPU.
+                with jax.default_matmul_precision("highest"):
+                    return vg(params)
+
+            self._value_and_grad_fn = jax.jit(hp_vg)
         return self._value_and_grad_fn
 
     def eval_jit(self):
         if self._eval_fn is None:
-            self._eval_fn = jax.jit(self.eval_all)
+            def hp_eval(params):
+                with jax.default_matmul_precision("highest"):
+                    return self.eval_all(params)
+
+            self._eval_fn = jax.jit(hp_eval)
         return self._eval_fn
 
     # -- history ------------------------------------------------------------
