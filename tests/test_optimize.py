@@ -94,3 +94,28 @@ def test_history_plot_callback(tmp_path, poisson_problem):
     assert png_file.exists()
     loaded = ns.utils.load_json(hist_file)
     assert "log" in loaded and "losses" in loaded
+
+
+def test_minimize_rounds_trace_under_full_f32_accumulation():
+    """Every optimization round must trace its step under
+    jax.default_matmul_precision('highest'): TPU's default bf16 matmul
+    passes inject ~1e-3 relative loss jitter that silently rejects LM steps
+    and breaks f32 line searches (RESULTS_TPU.md).  The loss closure runs
+    at trace time, so it can observe the ambient config."""
+    seen = {}
+
+    model = ns.models.MLP(1, 1, width=4, depth=1, seed=0)
+    x = jnp.linspace(0.0, 1.0, 8)[:, None]
+
+    def fit():
+        seen["precision"] = jax.config.jax_default_matmul_precision
+        return model(x) - x
+
+    pb = ns.OptimizationProblem(
+        model.variables, [ns.LossMeanSquares("fit", fit)]
+    )
+    ns.minimize(pb, "keras", None, num_epochs=2)
+    assert seen["precision"] == "highest"
+    seen.clear()
+    ns.minimize(pb, "jax", "BFGS", num_epochs=2)
+    assert seen["precision"] == "highest"

@@ -149,3 +149,54 @@ def test_ns_residual_mse_rejects_mismatched_input():
     with pytest.raises(ValueError, match="expected 3"):
         ns_residual_mse(model.params, x2, NSPhysics(time=1.0), norm,
                         np_tile=64, interpret=True)
+
+
+def test_high_precision_ambient_detection():
+    """minimize() wraps rounds in default_matmul_precision('highest'); the
+    kernels read that ambient config at trace time to shrink their streamed
+    chunk (multi-pass f32 matmuls need ~4-6x the scoped VMEM)."""
+    from tpinn.pallas.mlp_bundle import _high_precision_ambient
+
+    assert not _high_precision_ambient()
+    with jax.default_matmul_precision("highest"):
+        assert _high_precision_ambient()
+    with jax.default_matmul_precision("float32"):
+        assert _high_precision_ambient()
+    with jax.default_matmul_precision("default"):
+        assert not _high_precision_ambient()
+    assert not _high_precision_ambient()
+
+
+def test_ns_residual_mse_high_precision_chunk_cap():
+    """Under the highest-precision context the fused kernels cap the chunk
+    at 512; results (fwd + grad) must be identical to the uncapped path.
+    n=1100 with np_tile=2048 forces 512-chunking (3 chunks + tail pad)."""
+    from tpinn.geometry import Normalization
+    from tpinn.pallas.mlp_bundle import ns_residual_mse
+
+    model = MLP(2, 3, width=32, depth=3, seed=0, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 500.0]), np.array([0.0, 250.0]), np.array([-1e4, 1e4])
+    )
+    from tpinn.pipeline import NSPhysics
+
+    phys = NSPhysics(conv=1.0, visc=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (1100, 2)), dtype=jnp.float64
+    )
+
+    def loss(p):
+        return jnp.sum(
+            ns_residual_mse(p, x, phys, norm, np_tile=2048, interpret=True)
+        )
+
+    ref_v = float(loss(params))
+    ref_g, _ = jax.flatten_util.ravel_pytree(jax.grad(loss)(params))
+    with jax.default_matmul_precision("highest"):
+        hp_v = float(loss(params))
+        hp_g, _ = jax.flatten_util.ravel_pytree(jax.grad(loss)(params))
+    np.testing.assert_allclose(hp_v, ref_v, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(hp_g), np.asarray(ref_g), rtol=1e-9, atol=1e-12
+    )
