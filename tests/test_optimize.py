@@ -96,26 +96,29 @@ def test_history_plot_callback(tmp_path, poisson_problem):
     assert "log" in loaded and "losses" in loaded
 
 
-def test_minimize_rounds_trace_under_full_f32_accumulation():
-    """Every optimization round must trace its step under
+def test_minimize_second_order_traces_under_full_f32_accumulation():
+    """Second-order rounds must trace their steps under
     jax.default_matmul_precision('highest'): TPU's default bf16 matmul
     passes inject ~1e-3 relative loss jitter that silently rejects LM steps
-    and breaks f32 line searches (RESULTS_TPU.md).  The loss closure runs
-    at trace time, so it can observe the ambient config."""
-    seen = {}
+    and breaks f32 line searches (RESULTS_TPU.md).  First-order rounds keep
+    the fast default (they never compare loss values).  The loss closure
+    runs at trace time, so it can observe the ambient config."""
+    traces = []
 
     model = ns.models.MLP(1, 1, width=4, depth=1, seed=0)
     x = jnp.linspace(0.0, 1.0, 8)[:, None]
 
     def fit():
-        seen["precision"] = jax.config.jax_default_matmul_precision
+        traces.append(jax.config.jax_default_matmul_precision)
         return model(x) - x
 
     pb = ns.OptimizationProblem(
         model.variables, [ns.LossMeanSquares("fit", fit)]
     )
     ns.minimize(pb, "keras", None, num_epochs=2)
-    assert seen["precision"] == "highest"
-    seen.clear()
+    # the Adam step itself traces at default; only the problem's jitted
+    # eval (history/test logging) forces full accumulation
+    assert None in traces
+    traces.clear()
     ns.minimize(pb, "jax", "BFGS", num_epochs=2)
-    assert seen["precision"] == "highest"
+    assert "highest" in traces and None not in traces

@@ -549,19 +549,23 @@ def minimize(
 
     strategy: 'keras' (alias 'adam') | 'scipy' | 'jax' (alias 'lbfgs').
 
-    Every round traces its jitted step under full-f32 matmul accumulation:
-    TPU's default bf16 matmul passes inject ~1e-3 relative noise into the
-    PDE residuals (cancellation amplifies the rounding) — measured to reject
-    every LM step and to corrupt quasi-Newton curvature pairs at f32.  The
-    context is a no-op on CPU and for f64.
+    Second-order rounds trace their jitted steps under full-f32 matmul
+    accumulation: TPU's default bf16 matmul passes inject ~1e-3 relative
+    noise into the PDE residuals (cancellation amplifies the rounding) —
+    measured to reject every LM step and to corrupt quasi-Newton curvature
+    pairs / line-search certifications at f32.  The context is a no-op on
+    CPU and for f64.  First-order rounds never compare loss values and
+    tolerate gradient jitter by construction, so they keep the fast
+    single-pass bf16 matmuls (the history/test evaluations they log still
+    run at full accumulation via the problem's jitted eval).
     """
     strategy = strategy.lower()
+    if strategy in ("keras", "adam"):
+        name = getattr(optimizer, "name", None) or "Adam"
+        return _minimize_first_order(
+            pb, optimizer, num_epochs, round_name=f"keras_{name}"
+        )
     with jax.default_matmul_precision("highest"):
-        if strategy in ("keras", "adam"):
-            name = getattr(optimizer, "name", None) or "Adam"
-            return _minimize_first_order(
-                pb, optimizer, num_epochs, round_name=f"keras_{name}"
-            )
         if strategy == "scipy":
             method = optimizer if isinstance(optimizer, str) else "BFGS"
             return _minimize_scipy(pb, method, num_epochs)
