@@ -90,3 +90,30 @@ def test_jax_lm_nonlinear_pinn_class():
     # cold start within 40 iterations (Adam needs thousands)
     assert pb.history.loss_global[-1] < 5e-5
     assert pb.history.loss_global[-1] < 1e-3 * pb.history.loss_global[0]
+
+
+def test_jax_full_bfgs_survives_nonfinite_trial_region():
+    """A trial point with a non-finite loss or gradient must be rejected,
+    not folded into the carry: on colliding (TPU f32) one poisoned step at
+    iter ~1050 made params+H NaN for the remaining 4000 epochs.  Here the
+    gradient goes NaN outside a ball (sqrt(max(0,.)) has d/dx = 0*inf
+    there) while the loss stays finite — exactly the shape the line
+    search cannot screen by loss value alone."""
+    model = TinyModel()
+    x = jnp.ones((4, 1))
+    target = jnp.array([2.0, 7.0])
+
+    def residual():
+        u = model(x)
+        mag = jnp.sum(u**2)
+        # finite value everywhere; gradient NaN for mag > 64
+        shell = jnp.sqrt(jnp.maximum(64.0 - mag, 0.0)) * 1e-3
+        return u - target + shell
+
+    pb = ns.OptimizationProblem(
+        model.variables, [ns.LossMeanSquares("fit", residual)], []
+    )
+    ns.minimize(pb, "jax", "BFGS", num_epochs=40)
+    assert np.isfinite(pb.history.loss_global[-1])
+    assert np.all(np.isfinite(np.asarray(model.params[0]["kernel"])))
+    assert np.all(np.isfinite(np.asarray(model.params[0]["bias"])))

@@ -273,8 +273,12 @@ def _wolfe_zoom_linesearch(f_1d, f0, g0, max_iters=30, c1=1e-4, c2=0.9):
         new_alpha = jnp.where(
             jnp.isinf(hi), alpha * 2.0, 0.5 * (lo + hi)
         )
-        best_a = jnp.where(fa < best_f, alpha, best_a)
-        best_f = jnp.minimum(fa, best_f)
+        # NaN-safe best-point tracking: jnp.minimum propagates a NaN trial
+        # into best_f, after which `fa < best_f` is False forever and the
+        # fallback alpha freezes at a stale value
+        better = jnp.logical_and(jnp.isfinite(fa), fa < best_f)
+        best_a = jnp.where(better, alpha, best_a)
+        best_f = jnp.where(better, fa, best_f)
         return (it + 1, ok, lo, hi,
                 jnp.where(ok, alpha, new_alpha), best_a, best_f)
 
@@ -311,8 +315,25 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
             return fa, jnp.dot(ga_vec, d)
 
         alpha, f_new = _wolfe_zoom_linesearch(f_1d, f, dg)
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
         x_new = x + alpha * d
         f_new, g_new = flat_vg(x_new)
+        # Non-finite rejection: a trial point can overflow the f32 loss
+        # (inf) or hit inf−inf/0·inf in the residuals (NaN); folding such a
+        # step into the carry poisons params AND the inverse Hessian for
+        # every remaining iteration (observed on colliding: a clean descent
+        # to 3.1e-6 went NaN at one step and never recovered).  Reject the
+        # step instead: keep (x, f, g), and treat it as a line-search
+        # failure below so H resets to identity.
+        finite = jnp.logical_and(
+            jnp.isfinite(f_new),
+            jnp.logical_and(
+                jnp.all(jnp.isfinite(x_new)), jnp.all(jnp.isfinite(g_new))
+            ),
+        )
+        x_new = jnp.where(finite, x_new, x)
+        f_new = jnp.where(finite, f_new, f)
+        g_new = jnp.where(finite, g_new, g)
         s = x_new - x
         y = g_new - g
         ys = jnp.dot(y, s)
@@ -345,7 +366,7 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
         # total line-search failure (alpha = 0): H is unusable along its own
         # directions — reset to identity and re-enter the first-update
         # scaling regime instead of freezing forever
-        failed = alpha == 0.0
+        failed = jnp.logical_or(alpha == 0.0, jnp.logical_not(finite))
         H_new = jnp.where(failed, I, H_new)
         first_new = jnp.logical_or(
             jnp.logical_and(first, jnp.logical_not(safe)), failed
