@@ -120,7 +120,25 @@ def bench_forward(model, params, norm, physics, x, iters):
     return x.shape[0] / dt, out
 
 
-def bench_train_step(model, params, norm, physics, x, iters, use_pallas):
+def bench_train_step(model, params, norm, physics, x, iters, use_pallas,
+                     highest=False):
+    """highest=True traces the step under full-f32 matmul accumulation —
+    the mode every second-order round (BFGS/LM line-search evals) runs in
+    (tpinn.optimize.minimize); quantifies what the accuracy campaigns pay
+    per loss+grad evaluation vs the bf16-pass Adam step."""
+    import contextlib
+
+    import jax
+    import optax
+
+    ctx = (jax.default_matmul_precision("highest") if highest
+           else contextlib.nullcontext())
+    with ctx:
+        return _bench_train_step(model, params, norm, physics, x, iters,
+                                 use_pallas)
+
+
+def _bench_train_step(model, params, norm, physics, x, iters, use_pallas):
     import jax
     import optax
 
@@ -247,6 +265,7 @@ def main(argv=None):
     )
 
     pallas_train_pts = None
+    hp_train_pts = None
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and not args.no_pallas:
         try:
@@ -255,6 +274,14 @@ def main(argv=None):
             )
         except Exception as e:  # pragma: no cover
             print(f"pallas train bench failed: {e}", file=sys.stderr)
+        try:
+            hp_train_pts, _, _ = bench_train_step(
+                model, params, norm, physics, x, args.iters,
+                use_pallas=True, highest=True,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"highest-precision train bench failed: {e}",
+                  file=sys.stderr)
 
     dev_kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(dev_kind)
@@ -287,6 +314,9 @@ def main(argv=None):
         "device_kind": dev_kind,
         "pallas_train_pts_per_sec": (
             round(pallas_train_pts, 1) if pallas_train_pts else None
+        ),
+        "hp_train_pts_per_sec": (
+            round(hp_train_pts, 1) if hp_train_pts else None
         ),
         "train_default": (
             "pallas"
