@@ -83,7 +83,7 @@ def default_options() -> SimulationOptions:
 
 
 def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
-         seed=0, resume_from=None, refine=0, noise_bnd=None):
+         seed=0, resume_from=None, refine=0, noise_bnd=None, adam_lr=1e-2):
     cwd = base_dir or HERE
     msh_path, bpts_path = _asset_paths(cwd)
     opts_file = os.path.join(cwd, "simulation_options.txt")
@@ -235,7 +235,8 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
     elif second_round == "adam":
         import optax
 
-        sched = optax.cosine_decay_schedule(1e-2, max(opts.epochs, 1), alpha=1e-3)
+        sched = optax.cosine_decay_schedule(adam_lr, max(opts.epochs, 1),
+                                            alpha=1e-3)
         ns.minimize(pb, "keras", optax.adam(sched), num_epochs=opts.epochs)
 
     # ----- artifacts
@@ -278,8 +279,11 @@ if __name__ == "__main__":
                          "SteadyCase_r<k>)")
     ap.add_argument("--noise-bnd", type=float, default=None,
                     help="boundary-target noise factor (reference #123: 0.01)")
+    ap.add_argument("--adam-lr", type=float, default=1e-2,
+                    help="peak lr for --second-round adam (cosine decay); "
+                         "resume anneals want ~3e-4")
     args = ap.parse_args()
     main(args.epochs, save_results=not args.scratch,
          second_round=args.second_round, seed=args.seed,
          resume_from=args.resume, refine=args.refine,
-         noise_bnd=args.noise_bnd)
+         noise_bnd=args.noise_bnd, adam_lr=args.adam_lr)
