@@ -92,6 +92,136 @@ def test_jax_lm_nonlinear_pinn_class():
     assert pb.history.loss_global[-1] < 1e-3 * pb.history.loss_global[0]
 
 
+class TinyModel32(Model):
+    """Explicit-float32 2-parameter linear model: the paired-residual tests
+    must run in f32 even under the test env's x64 default, because the
+    certification floor they exercise is an f32 phenomenon."""
+
+    def __init__(self):
+        super().__init__([1, 2])
+        self.params = [
+            {
+                "kernel": jnp.array([[5.0, -3.0]], jnp.float32),
+                "bias": jnp.zeros((2,), jnp.float32),
+            }
+        ]
+
+    def apply(self, params, x):
+        return x @ params[0]["kernel"] + params[0]["bias"]
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _f32_config():
+    """Force the global dtype to f32 (the paired-residual certification is
+    an f32 phenomenon; the test env enables x64)."""
+    from tpinn import config
+
+    config.set_dtype(jnp.float32)
+    try:
+        yield
+    finally:
+        config.set_dtype(None)
+
+
+def _make_offset_problem(offset=100.0, scale=1e-4):
+    """f32 least-squares problem whose loss sits on a large constant
+    pedestal: loss = offset² + mean((scale·(model(x)−target))²).  The
+    informative part is ~1e-7 — far below the f32 ulp of the pedestal
+    (ulp(1e4) ≈ 1e-3) — so any optimizer that certifies progress by
+    comparing absolute f32 losses is blind here.  This is the shape of the
+    coronary pure-TPU stall (decrease ~3e-9 vs eps·|loss| ≈ 1e-9) pushed
+    to an extreme.  Call under _f32_config()."""
+    model = TinyModel32()
+    x = jnp.ones((4, 1), jnp.float32)
+    target = jnp.array([2.0, 7.0], jnp.float32)
+    scale32 = jnp.float32(scale)
+
+    def residual():
+        return scale32 * (model(x) - target)
+
+    pb = ns.OptimizationProblem(
+        model.variables,
+        [
+            ns.LossMeanSquares("fit", residual),
+            ns.LossMeanSquares(
+                "pedestal", lambda: jnp.full((1,), offset, jnp.float32)
+            ),
+        ],
+        [],
+    )
+    return model, pb
+
+
+def test_paired_residual_diff_resolves_below_f32_ulp():
+    """Δφ = Σ(r₁−r₀)(r₁+r₀) must recover the true loss change when the
+    change is far below the f32 ulp of the absolute loss (where the naive
+    f32 subtraction of two losses returns pure rounding noise)."""
+    from tpinn.optimize import _flat_residual_fn
+
+    with _f32_config():
+        _, pb = _make_offset_problem()
+        theta0, unravel, residuals = _flat_residual_fn(pb)
+        assert theta0.dtype == jnp.float32
+        d = jnp.asarray(np.linspace(-1, 1, theta0.shape[0]), theta0.dtype)
+        theta1 = theta0 + jnp.float32(1e-2) * d
+
+        r0 = residuals(theta0)
+        r1 = residuals(theta1)
+        assert r0.dtype == jnp.float32
+        paired = float(jnp.dot(r1 - r0, r1 + r0))
+        naive = float(jnp.dot(r1, r1)) - float(jnp.dot(r0, r0))
+
+    # ground truth: the change of the f32-rounded objective, accumulated in
+    # f64 from the same f32 residual vectors (the paired reduction's whole
+    # point is recovering this without f64 hardware)
+    r0_64 = np.asarray(r0, np.float64)
+    r1_64 = np.asarray(r1, np.float64)
+    true = float(r1_64 @ r1_64 - r0_64 @ r0_64)
+
+    assert abs(true) > 0  # the step genuinely changes the loss
+    assert abs(paired - true) < 1e-2 * abs(true)
+    # the naive f32 value difference cannot see the change at all: it is
+    # either exactly 0 or a whole ulp of the pedestal (~1e-3)
+    assert abs(naive - true) >= 0.99 * abs(true)
+
+
+def test_jax_bfgs_paired_converges_on_pedestal():
+    """Dense BFGS in paired-residual mode must keep optimizing the small
+    informative term sitting on a 1e4 pedestal (value-comparison line
+    searches cannot certify any step here in f32)."""
+    with _f32_config():
+        model, pb = _make_offset_problem()
+        ns.minimize(pb, "jax", "BFGS", num_epochs=60)
+    kernel = np.asarray(model.params[0]["kernel"])[0]
+    bias = np.asarray(model.params[0]["bias"])
+    np.testing.assert_allclose(kernel + bias, [2.0, 7.0], atol=2e-3)
+
+
+def test_jax_lm_paired_converges_on_pedestal():
+    """LM's paired-difference accept test: same pedestal problem — the
+    absolute-value accept (f_new < f_cur in f32) would reject every step."""
+    with _f32_config():
+        model, pb = _make_offset_problem()
+        ns.minimize(pb, "jax", "LM", num_epochs=12, chunk=4)
+    kernel = np.asarray(model.params[0]["kernel"])[0]
+    bias = np.asarray(model.params[0]["bias"])
+    np.testing.assert_allclose(kernel + bias, [2.0, 7.0], atol=2e-3)
+
+
+def test_jax_bfgs_fallback_without_residual_vectors():
+    """With a non-LossMeanSquares loss in the mix the paired mode is
+    unavailable; BFGS must fall back to value-comparison and still work."""
+    model, pb = _make_problem()
+    pb.losses.append(ns.Loss("gauge", lambda: jnp.array(0.0)))
+    ns.minimize(pb, "jax", "BFGS", num_epochs=30)
+    kernel = np.asarray(model.params[0]["kernel"])[0]
+    bias = np.asarray(model.params[0]["bias"])
+    np.testing.assert_allclose(kernel + bias, [2.0, 7.0], atol=1e-4)
+
+
 def test_jax_full_bfgs_survives_nonfinite_trial_region():
     """A trial point with a non-finite loss or gradient must be rejected,
     not folded into the carry: on colliding (TPU f32) one poisoned step at

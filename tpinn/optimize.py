@@ -292,7 +292,66 @@ def _wolfe_zoom_linesearch(f_1d, f0, g0, max_iters=30, c1=1e-4, c2=0.9):
     return alpha, fa
 
 
+def _bfgs_update_H(H, s, y, first, failed, n, dtype):
+    """Rank-2 inverse-Hessian update with float32 guards (shared by the
+    plain and paired-residual BFGS steps).
+
+    * Curvature guard, dtype-scaled: in float32 a tiny-alpha step makes
+      y pure AD noise — folding it into H corrupts the inverse Hessian
+      (observed: noise-rho rank-2 updates preceded the TPU stall).
+      sqrt(eps) margin rejects noise-dominated pairs.
+    * Scale H on the first successful update (Nocedal & Wright eq. 6.20).
+    * O(n²) expansion of V H Vᵀ + ρssᵀ with V = I − ρsyᵀ (H symmetric):
+      H − ρ s(Hy)ᵀ − ρ (Hy)sᵀ + (ρ²·yᵀHy + ρ)·ssᵀ — the naive V @ H @ Vᵀ
+      costs two n³ matmuls, 100× slower at n≈2k.
+    * On total line-search failure H is unusable along its own directions —
+      reset to identity and re-enter the first-update scaling regime.
+    """
+    ys = jnp.dot(y, s)
+    eps = jnp.finfo(dtype).eps
+    safe = ys > 0.1 * jnp.sqrt(eps) * jnp.linalg.norm(y) * jnp.linalg.norm(s)
+    rho = jnp.where(safe, 1.0 / jnp.where(safe, ys, 1.0), 0.0)
+    gamma = jnp.where(
+        jnp.logical_and(first, safe),
+        ys / jnp.dot(y, y),
+        1.0,
+    )
+    H_eff = H * gamma
+    Hy = H_eff @ y
+    yHy = jnp.dot(y, Hy)
+    H_upd = (
+        H_eff
+        - rho * (jnp.outer(s, Hy) + jnp.outer(Hy, s))
+        + (rho * rho * yHy + rho) * jnp.outer(s, s)
+    )
+    H_new = jnp.where(safe, H_upd, H_eff)
+    H_new = jnp.where(failed, jnp.eye(n, dtype=dtype), H_new)
+    first_new = jnp.logical_or(
+        jnp.logical_and(first, jnp.logical_not(safe)), failed
+    )
+    return H_new, first_new
+
+
 def _minimize_jax_bfgs(pb, num_epochs: int):
+    """Dense on-device BFGS.  When every training loss exposes a residual
+    vector (LossMeanSquares), the line search runs in *paired-residual*
+    mode: instead of comparing two absolute losses (resolution eps·|f| —
+    at f≈1.6e-2 in float32 that is ~1e-9, above the ~3e-9 per-step
+    decreases observed at the coronary pure-TPU stall), each trial
+    evaluates the loss CHANGE directly as
+
+        Δφ(a) = Σ_i (r_i(x+ad) − r_i(x)) · (r_i(x+ad) + r_i(x))
+              = ||r(x+ad)||² − ||r(x)||²   (exactly, in ℝ)
+
+    where the cancellation happens per-residual-component (benign — the
+    paired components are nearly equal, and their difference is computed
+    from correlated roundings of the same graph) before the reduction
+    accumulates only small terms.  The certification resolution then
+    scales with |Δφ|, not |f|, letting f32 quasi-Newton keep certifying
+    decreases orders of magnitude below the eps·|f| floor that stalls
+    value-comparison line searches.  Cost per trial is unchanged: one
+    residual forward + one VJP (grad = 2·Jᵀr) instead of value_and_grad.
+    """
     params = pb.variables.get()
     x0, unravel = ravel_pytree(params)
     n = x0.shape[0]
@@ -300,8 +359,16 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
     loss_fn = pb.loss_fn
     eval_fn = pb.eval_jit()
     flat_vg = jax.value_and_grad(lambda x: loss_fn(unravel(x)))
+    try:
+        _, _, residuals = _flat_residual_fn(pb)
+    except ValueError:
+        residuals = None
 
-    def step(carry, _):
+    def res_grad(x):
+        r, vjp = jax.vjp(residuals, x)
+        return r, vjp(2.0 * r)[0]
+
+    def step_plain(carry, _):
         x, f, g, H, first = carry
         d = -(H @ g)
         dg = jnp.dot(d, g)
@@ -334,51 +401,63 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
         x_new = jnp.where(finite, x_new, x)
         f_new = jnp.where(finite, f_new, f)
         g_new = jnp.where(finite, g_new, g)
-        s = x_new - x
-        y = g_new - g
-        ys = jnp.dot(y, s)
-        # Curvature-update guard, dtype-scaled: in float32 a tiny-alpha step
-        # makes y pure AD noise — folding it into H corrupts the inverse
-        # Hessian (observed: noise-rho rank-2 updates preceded the TPU
-        # stall).  sqrt(eps) margin rejects noise-dominated pairs.
-        eps = jnp.finfo(dtype).eps
-        safe = ys > 0.1 * jnp.sqrt(eps) * jnp.linalg.norm(y) * jnp.linalg.norm(s)
-        rho = jnp.where(safe, 1.0 / jnp.where(safe, ys, 1.0), 0.0)
-        # scale H on the first successful update (Nocedal & Wright eq. 6.20)
-        gamma = jnp.where(
-            jnp.logical_and(first, safe),
-            ys / jnp.dot(y, y),
-            1.0,
-        )
-        H_eff = H * gamma
-        # O(n²) expansion of V H Vᵀ + ρssᵀ with V = I − ρsyᵀ (H symmetric):
-        #   H − ρ s(Hy)ᵀ − ρ (Hy)sᵀ + (ρ²·yᵀHy + ρ)·ssᵀ
-        # (the naive V @ H @ Vᵀ costs two n³ matmuls — 100× slower at n≈2k)
-        Hy = H_eff @ y
-        yHy = jnp.dot(y, Hy)
-        H_upd = (
-            H_eff
-            - rho * (jnp.outer(s, Hy) + jnp.outer(Hy, s))
-            + (rho * rho * yHy + rho) * jnp.outer(s, s)
-        )
-        I = jnp.eye(n, dtype=dtype)
-        H_new = jnp.where(safe, H_upd, H_eff)
-        # total line-search failure (alpha = 0): H is unusable along its own
-        # directions — reset to identity and re-enter the first-update
-        # scaling regime instead of freezing forever
         failed = jnp.logical_or(alpha == 0.0, jnp.logical_not(finite))
-        H_new = jnp.where(failed, I, H_new)
-        first_new = jnp.logical_or(
-            jnp.logical_and(first, jnp.logical_not(safe)), failed
+        H_new, first_new = _bfgs_update_H(
+            H, x_new - x, g_new - g, first, failed, n, dtype
         )
         return (x_new, f_new, g_new, H_new, first_new), f_new
+
+    def step_paired(carry, _):
+        x, f, r, g, H, first = carry
+        d = -(H @ g)
+        dg = jnp.dot(d, g)
+        bad = dg >= 0
+        d = jnp.where(bad, -g, d)
+        dg = jnp.where(bad, -jnp.dot(g, g), dg)
+
+        def d_1d(a):
+            ra, ga_vec = res_grad(x + a * d)
+            return jnp.dot(ra - r, ra + r), jnp.dot(ga_vec, d)
+
+        # φ0 = 0 in Δ-space: Armijo becomes Δφ(a) ≤ c1·a·φ'(0), certified
+        # at the resolution of Δφ rather than of the absolute loss
+        alpha, _ = _wolfe_zoom_linesearch(d_1d, jnp.zeros_like(f), dg)
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        x_new = x + alpha * d
+        r_new, g_new = res_grad(x_new)
+        delta = jnp.dot(r_new - r, r_new + r)
+        f_new = f + delta
+        finite = jnp.logical_and(
+            jnp.logical_and(
+                jnp.isfinite(f_new), jnp.all(jnp.isfinite(x_new))
+            ),
+            jnp.logical_and(
+                jnp.all(jnp.isfinite(g_new)), jnp.all(jnp.isfinite(r_new))
+            ),
+        )
+        x_new = jnp.where(finite, x_new, x)
+        f_new = jnp.where(finite, f_new, f)
+        g_new = jnp.where(finite, g_new, g)
+        r_new = jnp.where(finite, r_new, r)
+        failed = jnp.logical_or(alpha == 0.0, jnp.logical_not(finite))
+        H_new, first_new = _bfgs_update_H(
+            H, x_new - x, g_new - g, first, failed, n, dtype
+        )
+        return (x_new, f_new, r_new, g_new, H_new, first_new), f_new
+
+    step = step_plain if residuals is None else step_paired
 
     @functools.partial(jax.jit, static_argnums=1)
     def run_chunk(carry, n_steps):
         return jax.lax.scan(step, carry, None, length=n_steps)
 
-    f0, g0 = flat_vg(x0)
-    carry = (x0, f0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
+    if residuals is None:
+        f0, g0 = flat_vg(x0)
+        carry = (x0, f0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
+    else:
+        r0, g0 = jax.jit(res_grad)(x0)
+        f0 = jnp.dot(r0, r0)
+        carry = (x0, f0, r0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
 
     pb.history.start_round("jax_BFGS")
     pb.last_round_name = "jax_BFGS"
@@ -496,14 +575,19 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
         )(vs)
     )
     gram = _hp(lambda Jt, r: (Jt @ Jt.T, Jt @ r))
+    # paired-difference accept test: ||r_new||² − ||r_cur||² evaluated as a
+    # sum of per-component (r₁−r₀)(r₁+r₀) products, so its resolution scales
+    # with the CHANGE, not with the absolute loss (same certification fix as
+    # the paired-residual BFGS line search — see _minimize_jax_bfgs)
+    pair_diff = _hp(lambda ra, rb: jnp.dot(ra - rb, ra + rb))
 
     def normal_eqs(theta):
-        """loss, JᵀJ (host), JᵀR (host) — chunked, host-driven."""
+        """residuals (device), JᵀJ (host), JᵀR (host) — chunked, host-driven."""
         r = res_jit(theta)
         rows_list = [jac_chunk(theta, vs) for vs in basis_chunks]
         Jt = jnp.concatenate(rows_list, axis=0)[:n_par]
         JTJ, JTr = gram(Jt, r)
-        return float(jnp.dot(r, r)), np.asarray(JTJ), np.asarray(JTr)
+        return r, np.asarray(JTJ), np.asarray(JTr)
 
     pb.history.start_round("jax_LM")
     pb.last_round_name = "jax_LM"
@@ -517,7 +601,7 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     converged = False
     for it in range(1, num_epochs + 1):
         t_it = time.perf_counter()
-        _, JTJ, JTr = normal_eqs(theta)
+        r_cur, JTJ, JTr = normal_eqs(theta)
         w, V = np.linalg.eigh(JTJ)  # host LAPACK
         w = np.maximum(w, 0.0)
         w_max = float(w[-1]) if w.size else 0.0
@@ -528,10 +612,11 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
         while not converged:
             lam = mu * w_max + np.finfo(np.float64).tiny
             delta = jnp.asarray(-(V @ (c / (w + lam))), dtype)
-            f_new = float(loss_fn(theta + delta))
-            if np.isfinite(f_new) and f_new < f_cur:
+            r_new = res_jit(theta + delta)
+            df = float(pair_diff(r_new, r_cur))
+            if np.isfinite(df) and df < 0:
                 theta = theta + delta
-                f_cur = f_new
+                f_cur = f_cur + df
                 mu = max(mu / 3.0, 1e-14)
                 accepted = True
                 break
