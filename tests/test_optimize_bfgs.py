@@ -211,6 +211,54 @@ def test_jax_lm_paired_converges_on_pedestal():
     np.testing.assert_allclose(kernel + bias, [2.0, 7.0], atol=2e-3)
 
 
+def test_jax_lm_split_carry_navigates_below_f32_ulp():
+    """f32 LM keeps the parameter vector in a float64 host carry and
+    evaluates at theta = hi + lo through an f32 jvp linearization
+    (r(hi) + J(hi)·lo), so damped steps far below ulp(theta) still change
+    the evaluation and certify.  Target an optimum 8e-8 off the f32
+    parameter lattice: per output column w = kernel + bias with kernel
+    pinned near ±5 can only take values on a ~4.8e-7-spaced f32 lattice
+    near w = 0, so no float32 parameter vector gets closer than ~8e-8 —
+    the f64 carry must land on the target to ~1e-10.  (The targets sit at
+    zero output scale so the f32 forward is rounding-free by Sterbenz and
+    the lattice argument is exact.)"""
+    with _f32_config():
+        model = TinyModel32()
+        x = jnp.ones((4, 1), jnp.float32)
+        target64 = np.array([8e-8, -8e-8])
+        t_hi = jnp.asarray(target64.astype(np.float32))
+        t_lo = jnp.asarray((target64 - t_hi.astype(np.float64)).astype(np.float32))
+
+        def residual():
+            # two-piece target keeps the true optimum off the f32 grid
+            # while every arithmetic op stays float32
+            return (model(x) - t_hi) - t_lo
+
+        pb = ns.OptimizationProblem(
+            model.variables, [ns.LossMeanSquares("fit", residual)], []
+        )
+        ns.minimize(pb, "jax", "LM", num_epochs=10, chunk=4)
+
+        theta64 = pb.last_theta64
+        assert theta64 is not None and theta64.dtype == np.float64
+        # recover the f64 parameters: unravel hi and lo parts separately
+        from jax.flatten_util import ravel_pytree
+
+        _, unravel = ravel_pytree(model.params)
+        hi = theta64.astype(np.float32)
+        lo = (theta64 - hi.astype(np.float64)).astype(np.float32)
+        p_hi, p_lo = unravel(jnp.asarray(hi)), unravel(jnp.asarray(lo))
+        k64 = np.asarray(p_hi[0]["kernel"], np.float64) + np.asarray(
+            p_lo[0]["kernel"], np.float64
+        )
+        b64 = np.asarray(p_hi[0]["bias"], np.float64) + np.asarray(
+            p_lo[0]["bias"], np.float64
+        )
+        w64 = k64[0] + b64
+    # the f32 lattice floor is ~8e-8; the carry must do ~1000x better
+    np.testing.assert_allclose(w64, target64, rtol=0, atol=1e-10)
+
+
 def test_jax_bfgs_fallback_without_residual_vectors():
     """With a non-LossMeanSquares loss in the mix the paired mode is
     unavailable; BFGS must fall back to value-comparison and still work."""

@@ -581,10 +581,40 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     # the paired-residual BFGS line search — see _minimize_jax_bfgs)
     pair_diff = _hp(lambda ra, rb: jnp.dot(ra - rb, ra + rb))
 
-    def normal_eqs(theta):
+    # Split-parameter carry (float32 only): the terminal f32 LM stall is the
+    # parameter grid itself — once the useful damped step has |δ| below
+    # ulp(θ), θ+δ rounds back to θ, every candidate evaluates to df == 0,
+    # and the damping loop saturates (observed: coronary #005 round exits
+    # in minutes with mu at the 1e12 cap while the f64 normal equations
+    # still predict descent).  Fix: keep θ in float64 on the HOST (the
+    # normal-equation algebra is already host f64) and evaluate residuals
+    # at θ = hi + lo with f32 device compute via the linearization
+    #     r(hi + lo) ≈ r(hi) + J(hi)·lo        (one extra f32 jvp),
+    # whose error is O(‖lo‖²·curvature) — ‖lo‖ ≤ ulp(‖hi‖) makes it far
+    # below the accept test's resolution.  Sub-ulp steps then change the
+    # evaluation continuously: r(hi) cancels exactly in the paired diff
+    # when hi is unchanged and the jvp term resolves the δ-difference.
+    split = dtype == jnp.float32
+
+    def _split64(theta64):
+        hi = theta64.astype(np.float32)
+        lo = (theta64 - hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    res_lin = _hp(
+        lambda hi, lo: (lambda r, dr: r + dr)(*jax.jvp(residuals, (hi,), (lo,)))
+    )
+
+    def _eval_res(theta64):
+        if split:
+            return res_lin(*_split64(theta64))
+        return res_jit(jnp.asarray(theta64, dtype))
+
+    def normal_eqs(theta64):
         """residuals (device), JᵀJ (host), JᵀR (host) — chunked, host-driven."""
-        r = res_jit(theta)
-        rows_list = [jac_chunk(theta, vs) for vs in basis_chunks]
+        r = _eval_res(theta64)
+        theta_dev = jnp.asarray(theta64.astype(np.result_type(dtype)))
+        rows_list = [jac_chunk(theta_dev, vs) for vs in basis_chunks]
         Jt = jnp.concatenate(rows_list, axis=0)[:n_par]
         JTJ, JTr = gram(Jt, r)
         return r, np.asarray(JTJ), np.asarray(JTr)
@@ -594,14 +624,14 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     t0 = time.perf_counter()
     _log_point(pb, eval_fn, unravel(theta0), 0)
 
-    theta = theta0
-    f_cur = float(loss_fn(theta))
+    theta64 = np.asarray(theta0, np.float64)
+    f_cur = float(loss_fn(theta0))
     mu = 1e-3  # relative damping: λ = mu·max(w)
     log_targets = set(_log_iters(num_epochs, LOG_STRIDE)[1:])
     converged = False
     for it in range(1, num_epochs + 1):
         t_it = time.perf_counter()
-        r_cur, JTJ, JTr = normal_eqs(theta)
+        r_cur, JTJ, JTr = normal_eqs(theta64)
         w, V = np.linalg.eigh(JTJ)  # host LAPACK
         w = np.maximum(w, 0.0)
         w_max = float(w[-1]) if w.size else 0.0
@@ -611,11 +641,11 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
         c = V.T @ JTr
         while not converged:
             lam = mu * w_max + np.finfo(np.float64).tiny
-            delta = jnp.asarray(-(V @ (c / (w + lam))), dtype)
-            r_new = res_jit(theta + delta)
+            delta64 = -(V @ (c / (w + lam)))  # host float64 throughout
+            r_new = _eval_res(theta64 + delta64)
             df = float(pair_diff(r_new, r_cur))
             if np.isfinite(df) and df < 0:
-                theta = theta + delta
+                theta64 = theta64 + delta64
                 f_cur = f_cur + df
                 mu = max(mu / 3.0, 1e-14)
                 accepted = True
@@ -623,6 +653,7 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
             mu *= 10.0
             if mu > 1e12:  # no damping yields progress: at the floor
                 converged = True
+        theta = jnp.asarray(theta64.astype(np.result_type(dtype)))
         pb.last_opt_state = (theta, mu)
         if verbose:
             print(f"  LM iter {it}: loss {f_cur:.3e}, mu {mu:.1e}, "
@@ -632,7 +663,13 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
         if converged:
             break
 
-    params = unravel(theta)
+    # materialize at the working dtype (for f32 the nearest-representable
+    # rounding of the float64 carry; sub-ulp residue is lost by saving,
+    # which is what any deployed f32 model would see anyway).  The raw f64
+    # carry is exposed for diagnostics/tests: it records the sub-ulp
+    # navigation that the materialized f32 weights cannot.
+    pb.last_theta64 = theta64.copy()
+    params = unravel(jnp.asarray(theta64.astype(np.result_type(dtype))))
     pb.variables.set(params)
     pb.history.add_wall_time(time.perf_counter() - t0)
     pb.fire_callbacks(pb.history.iters[-1], force=True)
