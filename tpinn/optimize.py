@@ -601,23 +601,55 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
         lo = (theta64 - hi.astype(np.float64)).astype(np.float32)
         return jnp.asarray(hi), jnp.asarray(lo)
 
-    res_lin = _hp(
-        lambda hi, lo: (lambda r, dr: r + dr)(*jax.jvp(residuals, (hi,), (lo,)))
-    )
+    # value channel r(hi) and correction channel dr = J(hi)·lo are kept
+    # SEPARATE: forming r + dr in f32 would round the correction at
+    # ulp(r_i), which is exactly the resolution being recovered — at high
+    # damping the per-component correction difference sits far below
+    # ulp(r_i) and a summed evaluation quantizes every candidate to
+    # df == 0 (measured: the summed variant re-stalled coronary #005 at
+    # the same loss as the un-split code).
+    res_lin = _hp(lambda hi, lo: jax.jvp(residuals, (hi,), (lo,)))
 
     def _eval_res(theta64):
         if split:
             return res_lin(*_split64(theta64))
-        return res_jit(jnp.asarray(theta64, dtype))
+        return res_jit(jnp.asarray(theta64, dtype)), None
+
+    # ||r1+d1||² − ||r0+d0||² with every difference taken per channel
+    # before any cross-channel f32 addition can quantize it; when hi is
+    # unchanged between the two points r1 − r0 cancels bitwise and the
+    # whole diff rides the high-resolution dr channel
+    pair_diff_split = _hp(
+        lambda r1, d1, r0, d0: jnp.dot(
+            (r1 - r0) + (d1 - d0), (r1 + r0) + (d1 + d0)
+        )
+    )
+
+    def _pair_diff_ev(new, cur):
+        r1, d1 = new
+        r0, d0 = cur
+        if d1 is None:
+            return float(pair_diff(r1, r0))
+        return float(pair_diff_split(r1, d1, r0, d0))
+
+    gram_split = _hp(lambda Jt, r, dr: (Jt @ Jt.T, Jt @ r, Jt @ dr))
 
     def normal_eqs(theta64):
-        """residuals (device), JᵀJ (host), JᵀR (host) — chunked, host-driven."""
-        r = _eval_res(theta64)
+        """residuals (device), JᵀJ (host), JᵀR (host, f64) — chunked."""
+        rv = _eval_res(theta64)
         theta_dev = jnp.asarray(theta64.astype(np.result_type(dtype)))
         rows_list = [jac_chunk(theta_dev, vs) for vs in basis_chunks]
         Jt = jnp.concatenate(rows_list, axis=0)[:n_par]
-        JTJ, JTr = gram(Jt, r)
-        return r, np.asarray(JTJ), np.asarray(JTr)
+        if rv[1] is None:
+            JTJ, JTr = gram(Jt, rv[0])
+            JTr = np.asarray(JTr, np.float64)
+        else:
+            # Jᵀr and Jᵀdr accumulate separately on device (each at its own
+            # scale) and combine in host float64, preserving the sub-ulp(r)
+            # gradient contribution of the lo part
+            JTJ, JTr_r, JTr_d = gram_split(Jt, rv[0], rv[1])
+            JTr = np.asarray(JTr_r, np.float64) + np.asarray(JTr_d, np.float64)
+        return rv, np.asarray(JTJ), JTr
 
     pb.history.start_round("jax_LM")
     pb.last_round_name = "jax_LM"
@@ -643,7 +675,7 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
             lam = mu * w_max + np.finfo(np.float64).tiny
             delta64 = -(V @ (c / (w + lam)))  # host float64 throughout
             r_new = _eval_res(theta64 + delta64)
-            df = float(pair_diff(r_new, r_cur))
+            df = _pair_diff_ev(r_new, r_cur)
             if np.isfinite(df) and df < 0:
                 theta64 = theta64 + delta64
                 f_cur = f_cur + df
