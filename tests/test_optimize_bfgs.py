@@ -259,6 +259,45 @@ def test_jax_lm_split_carry_navigates_below_f32_ulp():
     np.testing.assert_allclose(w64, target64, rtol=0, atol=1e-10)
 
 
+def test_jax_bfgs_split_carry_navigates_below_f32_ulp():
+    """f32 dense BFGS carries the parameters as an on-device two-float
+    (hi, lo) pair with error-free TwoSum accumulation and evaluates through
+    the channel-separated linearization r(hi), J(hi)·lo — same sub-ulp
+    lattice problem as the LM variant, entirely inside the jitted scan."""
+    with _f32_config():
+        model = TinyModel32()
+        x = jnp.ones((4, 1), jnp.float32)
+        target64 = np.array([8e-8, -8e-8])
+        t_hi = jnp.asarray(target64.astype(np.float32))
+        t_lo = jnp.asarray((target64 - t_hi.astype(np.float64)).astype(np.float32))
+
+        def residual():
+            return (model(x) - t_hi) - t_lo
+
+        pb = ns.OptimizationProblem(
+            model.variables, [ns.LossMeanSquares("fit", residual)], []
+        )
+        ns.minimize(pb, "jax", "BFGS", num_epochs=80)
+
+        theta64 = pb.last_theta64
+        assert theta64 is not None and theta64.dtype == np.float64
+        from jax.flatten_util import ravel_pytree
+
+        _, unravel = ravel_pytree(model.params)
+        hi = theta64.astype(np.float32)
+        lo = (theta64 - hi.astype(np.float64)).astype(np.float32)
+        p_hi, p_lo = unravel(jnp.asarray(hi)), unravel(jnp.asarray(lo))
+        k64 = np.asarray(p_hi[0]["kernel"], np.float64) + np.asarray(
+            p_lo[0]["kernel"], np.float64
+        )
+        b64 = np.asarray(p_hi[0]["bias"], np.float64) + np.asarray(
+            p_lo[0]["bias"], np.float64
+        )
+        w64 = k64[0] + b64
+    # the f32 lattice floor is ~8e-8; the two-float carry must cross it
+    np.testing.assert_allclose(w64, target64, rtol=0, atol=5e-9)
+
+
 def test_jax_bfgs_fallback_without_residual_vectors():
     """With a non-LossMeanSquares loss in the mix the paired mode is
     unavailable; BFGS must fall back to value-comparison and still work."""

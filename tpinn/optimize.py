@@ -368,6 +368,39 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
         r, vjp = jax.vjp(residuals, x)
         return r, vjp(2.0 * r)[0]
 
+    # -- split-parameter (two-float) carry: float32 only ------------------
+    # The f32 parameter grid is the terminal wall for any f32 optimizer:
+    # once the accepted step has |α·d| below ulp(x) componentwise, x + αd
+    # rounds back to x and every candidate evaluates to Δφ == 0 (measured:
+    # the lane_tpu10 paired-BFGS re-polish reproduced every previous
+    # pure-TPU floor bit-identically).  Carry x as an unevaluated two-float
+    # pair (hi, lo) with error-free accumulation (Knuth TwoSum — exact
+    # under IEEE round-to-nearest, which XLA preserves), and evaluate
+    # residuals at hi + lo through the channel-separated linearization
+    # r(hi), J(hi)·lo (‖lo‖ ≤ ulp(‖hi‖)/2 by renormalization, so the
+    # linearization error is O(ulp²·curvature)).  Same scheme as the
+    # split-parameter LM, but living entirely on device inside the scan.
+    def _two_sum(a, b):
+        """s + err == a + b exactly (Knuth TwoSum, branch-free)."""
+        s = a + b
+        bb = s - a
+        err = (a - (s - bb)) + (b - bb)
+        return s, err
+
+    def _df_add(hi, lo, delta):
+        """(hi, lo) + delta → renormalized two-float pair (error-free)."""
+        s, err = _two_sum(hi, delta)
+        lo2 = lo + err
+        return _two_sum(s, lo2)
+
+    def eval_ch(hi, lo):
+        """r(hi), dr = J(hi)·lo, and gradient 2Jᵀ(r+dr) — the forward is
+        shared between the jvp and the transpose via jax.linearize."""
+        r, lin = jax.linearize(residuals, hi)
+        dr = lin(lo)
+        g = jax.linear_transpose(lin, hi)(2.0 * (r + dr))[0]
+        return r, dr, g
+
     def step_plain(carry, _):
         x, f, g, H, first = carry
         d = -(H @ g)
@@ -445,7 +478,56 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
         )
         return (x_new, f_new, r_new, g_new, H_new, first_new), f_new
 
-    step = step_plain if residuals is None else step_paired
+    def step_split(carry, _):
+        hi, lo, f, r, dr, g, H, first = carry
+        d = -(H @ g)
+        dg = jnp.dot(d, g)
+        bad = dg >= 0
+        d = jnp.where(bad, -g, d)
+        dg = jnp.where(bad, -jnp.dot(g, g), dg)
+
+        def d_1d(a):
+            hia, loa = _df_add(hi, lo, a * d)
+            ra, dra, ga_vec = eval_ch(hia, loa)
+            # channel-separated paired diff: r-channel cancels bitwise
+            # while hi is unchanged; the dr channel resolves sub-ulp steps
+            dphi = jnp.dot((ra - r) + (dra - dr), (ra + r) + (dra + dr))
+            return dphi, jnp.dot(ga_vec, d)
+
+        alpha, _ = _wolfe_zoom_linesearch(d_1d, jnp.zeros_like(f), dg)
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        hi_n, lo_n = _df_add(hi, lo, alpha * d)
+        r_n, dr_n, g_n = eval_ch(hi_n, lo_n)
+        delta = jnp.dot((r_n - r) + (dr_n - dr), (r_n + r) + (dr_n + dr))
+        f_n = f + delta
+        finite = jnp.logical_and(
+            jnp.logical_and(jnp.isfinite(f_n), jnp.all(jnp.isfinite(hi_n))),
+            jnp.logical_and(
+                jnp.all(jnp.isfinite(g_n)),
+                jnp.logical_and(
+                    jnp.all(jnp.isfinite(r_n)), jnp.all(jnp.isfinite(dr_n))
+                ),
+            ),
+        )
+        hi_n = jnp.where(finite, hi_n, hi)
+        lo_n = jnp.where(finite, lo_n, lo)
+        f_n = jnp.where(finite, f_n, f)
+        g_n = jnp.where(finite, g_n, g)
+        r_n = jnp.where(finite, r_n, r)
+        dr_n = jnp.where(finite, dr_n, dr)
+        failed = jnp.logical_or(alpha == 0.0, jnp.logical_not(finite))
+        s = (hi_n - hi) + (lo_n - lo)
+        H_new, first_new = _bfgs_update_H(
+            H, s, g_n - g, first, failed, n, dtype
+        )
+        return (hi_n, lo_n, f_n, r_n, dr_n, g_n, H_new, first_new), f_n
+
+    if residuals is None:
+        step = step_plain
+    elif dtype == jnp.float32:
+        step = step_split
+    else:
+        step = step_paired
 
     @functools.partial(jax.jit, static_argnums=1)
     def run_chunk(carry, n_steps):
@@ -454,6 +536,14 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
     if residuals is None:
         f0, g0 = flat_vg(x0)
         carry = (x0, f0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
+    elif dtype == jnp.float32:
+        lo0 = jnp.zeros_like(x0)
+        r0, dr0, g0 = jax.jit(eval_ch)(x0, lo0)
+        f0 = jnp.dot(r0, r0)
+        carry = (
+            x0, lo0, f0, r0, dr0, g0,
+            jnp.eye(n, dtype=dtype), jnp.array(True),
+        )
     else:
         r0, g0 = jax.jit(res_grad)(x0)
         f0 = jnp.dot(r0, r0)
@@ -469,6 +559,12 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
         done = target
         pb.last_opt_state = carry
         _log_point(pb, eval_fn, unravel(carry[0]), done)
+    if residuals is not None and dtype == jnp.float32:
+        # expose the full two-float carry for diagnostics/tests (the
+        # materialized f32 params below are its nearest-f32 rounding)
+        pb.last_theta64 = (
+            np.asarray(carry[0], np.float64) + np.asarray(carry[1], np.float64)
+        )
     params = unravel(carry[0])
     pb.variables.set(params)
     pb.history.add_wall_time(time.perf_counter() - t0)
