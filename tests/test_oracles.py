@@ -288,3 +288,38 @@ def test_classify_boundary_matches_generate_bpoints():
     ref = generate_bpoints(path)
     # same split as the npy-based marking: 701/33/33/33
     assert [int((marks == f).sum()) for f in range(4)] == [701, 33, 33, 33]
+
+
+def test_generate_emits_xdmf_wrappers(tmp_path):
+    # the generate pipeline writes .xdmf wrappers next to every fields h5
+    # (reference fluid_solver_steady.py:94-102, fluid_solver_unsteady.py:86-95)
+    from tpinn.oracles import generate
+
+    n_out = 100
+    xq, yq = cavity.vertex_grid(n_out)
+    u = xq + yq
+    folder = tmp_path / "SteadyCase"
+    io.write_fields_h5(folder / "navier-stokes_cavity_steady.h5", u, u, u,
+                       geometry=np.stack([xq, yq], axis=-1))
+    io.write_regular_csv(folder / "navier-stokes_cavity_steady_r.csv",
+                         xq, yq, u, u, u)
+    generate.generate_cavity_steady(str(tmp_path))
+    xdmf = folder / "navier-stokes_cavity_steady.xdmf"
+    assert xdmf.exists()
+    text = xdmf.read_text()
+    assert f'Dimensions="{(n_out + 1) ** 2} 2"' in text
+    assert "navier-stokes_cavity_steady.h5:/VisualisationVector/0" in text
+
+    # unsteady cached path: wrapper per timestep h5
+    T, dt = 1e-2, 1e-4
+    n_times = int(round(T / dt))
+    ufolder = tmp_path / "UnsteadyCase"
+    snaps = [(np.full(9, i), np.full(9, -i), np.arange(9.0))
+             for i in range(n_times)]
+    io.write_unsteady_series_h5(ufolder, snaps)
+    (ufolder / "navier-stokes_SI_cavity_unsteady_r.csv").write_text("x\n")
+    generate.generate_cavity_unsteady(str(tmp_path), T=T, dt=dt)
+    w0 = ufolder / "navier-stokes_SI_cavity_unsteady_00000.xdmf"
+    w_last = ufolder / f"navier-stokes_SI_cavity_unsteady_{n_times-1:05d}.xdmf"
+    assert w0.exists() and w_last.exists()
+    assert 'Dimensions="9 2"' in w0.read_text()

@@ -43,6 +43,7 @@ def generate_cavity_steady(
             # all three files consistent with whatever solve produced them)
             u_o, v_o, p_o = io.read_fields_h5(h5_path)
             _write_random_csv(rand_csv_path, u_o, v_o, p_o, n_out)
+        _ensure_xdmf(h5_path, (n_out + 1) ** 2)
         return folder
 
     re = U * 1.0 / nu
@@ -72,7 +73,18 @@ def generate_cavity_steady(
     )
 
     _write_random_csv(rand_csv_path, u_o, v_o, p_o, n_out)
+    _ensure_xdmf(h5_path, (n_out + 1) ** 2)
     return folder
+
+
+def _ensure_xdmf(h5_path: str, n_points: int, time: float = 0.0) -> None:
+    """Emit the .xdmf wrapper next to a fields h5 (the reference FEM stage
+    writes .xdmf + .h5 pairs, fluid_solver_steady.py:94-102; drivers only
+    read the h5, so the wrapper exists for artifact-layout parity)."""
+    xdmf_path = os.path.splitext(h5_path)[0] + ".xdmf"
+    if not os.path.exists(xdmf_path):
+        io.write_xdmf(xdmf_path, os.path.basename(h5_path), n_points,
+                      time=time)
 
 
 def _write_random_csv(path, u_o, v_o, p_o, n_out: int,
@@ -108,6 +120,9 @@ def generate_cavity_unsteady(
     last = io.unsteady_h5_path(folder, n_times - 1)
     csv_path = os.path.join(folder, "navier-stokes_SI_cavity_unsteady_r.csv")
     if os.path.exists(last):
+        for it in range(n_times):
+            h5 = io.unsteady_h5_path(folder, it)
+            _ensure_xdmf(h5, _h5_n_points(h5), time=it * dt)
         if not os.path.exists(csv_path):
             # derive the regular-grid csv from the CACHED h5 series (the csv
             # is gitignored like the reference's FEM outputs; keep it
@@ -123,8 +138,19 @@ def generate_cavity_unsteady(
         nu=nu, lid_velocity=U, t_end=T, dt_out=dt, n=n
     )
     io.write_unsteady_series_h5(folder, snaps)
+    # per-step .xdmf wrappers (reference fluid_solver_unsteady.py:86-95)
+    for it, t in enumerate(times):
+        h5 = io.unsteady_h5_path(folder, it)
+        _ensure_xdmf(h5, _h5_n_points(h5), time=t)
     _write_unsteady_regular_csv(csv_path, times, snaps, n)
     return folder
+
+
+def _h5_n_points(h5_path: str) -> int:
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        return int(f["VisualisationVector"]["0"].shape[0])
 
 
 def _write_unsteady_regular_csv(csv_path, times, snaps, n: int) -> None:
