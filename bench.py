@@ -252,6 +252,59 @@ def _backend_available(timeout_s=300):
         return False
 
 
+def _wait_for_backend(wait_s: float, probe_timeout_s=180) -> bool:
+    """Poll the ambient backend for up to ``wait_s`` seconds (tunnel outages
+    are transient — VERDICT r1 item 1 asks the bench to retry past them
+    instead of immediately recording a CPU fallback)."""
+    deadline = time.monotonic() + wait_s
+    first = True
+    while True:
+        if _backend_available(timeout_s=probe_timeout_s):
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        if first:
+            print("bench: ambient backend unavailable; polling "
+                  f"(up to {wait_s:.0f}s, BENCH_TPU_WAIT_S to change)",
+                  file=sys.stderr)
+            first = False
+        time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
+
+
+_TPU_CAPTURE_PATH = "BENCH_TPU.json"
+
+
+def _persist_tpu_capture(result: dict) -> None:
+    """Record the most recent successful TPU measurement next to the repo
+    root so a later CPU-fallback run can still report it (committed as
+    BENCH_TPU.json; the driver's BENCH_r*.json then always carries TPU
+    numbers with provenance)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _TPU_CAPTURE_PATH)
+    payload = dict(result)
+    payload["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    os.replace(tmp, path)
+
+
+def _last_tpu_capture():
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _TPU_CAPTURE_PATH)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     # 4M: the forward scan carries a fixed ~0.8ms per-iteration overhead on
@@ -273,8 +326,9 @@ def main(argv=None):
 
     import os
 
+    wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", "600"))
     if (not args.cpu_fallback and os.environ.get("JAX_PLATFORMS") != "cpu"
-            and not _backend_available()):
+            and not _wait_for_backend(wait_s)):
         # Tunnel down: re-exec onto the host CPU so the bench still reports
         # an honest (clearly labeled) number instead of hanging or crashing.
         print("bench: ambient backend unavailable; falling back to CPU",
@@ -370,6 +424,12 @@ def main(argv=None):
         # Honest label: these are host-CPU numbers recorded because the
         # remote-TPU tunnel was unavailable at bench time, NOT TPU perf.
         result["backend_fallback"] = "cpu (TPU tunnel unavailable)"
+        last = _last_tpu_capture()
+        if last is not None:
+            # the most recent real-TPU measurement (committed BENCH_TPU.json)
+            result["last_tpu_capture"] = last
+    elif on_tpu and not args.quick:
+        _persist_tpu_capture(result)
     print(json.dumps(result))
 
 
