@@ -404,6 +404,13 @@ def main(argv=None):
             if base_pts_per_sec
             else None
         ),
+        # the stand-in baseline's own measured throughput (torch-CPU eager
+        # tape, reference TF2-eager style — TF absent from this image), so
+        # the vs_baseline ratio is reproducible from the recorded JSON
+        "baseline_pts_per_sec": (
+            round(base_pts_per_sec, 1) if base_pts_per_sec else None
+        ),
+        "baseline_impl": "torch-cpu eager tape (TF2-eager stand-in)",
         "train_step_pts_per_sec": round(train_pts, 1),
         "train_step_flops": train_flops,
         "train_mfu_bf16_peak": mfu,

@@ -92,7 +92,15 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "lm", "adam", "none"])
+    ap.add_argument("--second-round", default="scipy",
+                    choices=["scipy", "scipy-parity", "jax", "jax-bfgs",
+                             "lm", "adam", "none"],
+                    help="second optimizer round. 'scipy' routes to the"
+                         " resumable on-device dense BFGS (host-scipy"
+                         " optimizer state cannot be checkpointed, so a"
+                         " killed round would lose its Hessian);"
+                         " 'scipy-parity' forces the reference's"
+                         " host-scipy round")
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None, metavar="FOLDER",

@@ -267,3 +267,42 @@ def test_driver_resume_appends_rounds(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got[0]["kernel"]), np.asarray(marked[0]["kernel"])
     )
+
+
+def _tiny_spec():
+    prm = analytic.PoiseuilleParams()
+    return CaseSpec(
+        name="Tiny",
+        extents=[(0.0, 1.0), (0.0, 0.1)],
+        grid_shape=(8, 4),
+        physics=NSPhysics(conv=prm.rho, visc=prm.mu),
+        exact=(
+            lambda x: analytic.poiseuille_u(x, prm),
+            lambda x: analytic.poiseuille_v(x, prm),
+            lambda x: analytic.poiseuille_p(x, prm),
+        ),
+        bnd_val={
+            0: {"BOT": 0.0, "TOP": 0.0,
+                "SX": lambda x: analytic.poiseuille_u(x, prm)},
+            1: {"BOT": 0.0, "TOP": 0.0, "SX": 0.0},
+        },
+    )
+
+
+def test_second_round_scipy_routes_to_resumable_bfgs():
+    """VERDICT r1 item 8: 'scipy' second rounds default to the on-device
+    dense BFGS (exactly checkpoint-resumable carry); 'scipy-parity'
+    requests the reference's actual host-scipy round."""
+    opts = SimulationOptions(epochs=3, n_pde=16, n_bc=4, n_vel=4,
+                             n_pres=0, n_test=8)
+    drv = StandardNSDriver(_tiny_spec(), opts, save_results=False, seed=0,
+                           second_round="scipy", adam_epochs=3)
+    pb = drv.train(callbacks=False)
+    assert pb.history.round_names == ["keras_Adam", "jax_BFGS"]
+    assert pb.last_opt_state is not None  # resumable carry
+
+    drv2 = StandardNSDriver(_tiny_spec(), opts, save_results=False, seed=0,
+                            second_round="scipy-parity", adam_epochs=3)
+    pb2 = drv2.train(callbacks=False)
+    assert pb2.history.round_names == ["keras_Adam", "scipy_BFGS"]
+    assert pb2.last_opt_state is None  # scipy owns its state

@@ -323,3 +323,105 @@ def test_generate_emits_xdmf_wrappers(tmp_path):
     w_last = ufolder / f"navier-stokes_SI_cavity_unsteady_{n_times-1:05d}.xdmf"
     assert w0.exists() and w_last.exists()
     assert 'Dimensions="9 2"' in w0.read_text()
+
+
+def _channel_mesh(nx=16, ny=8, L=2.0, H=1.0):
+    xs = np.linspace(0, L, nx + 1)
+    ys = np.linspace(0, H, ny + 1)
+    xx, yy = np.meshgrid(xs, ys)
+    nodes = np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+
+    def vid(i, j):
+        return j * (nx + 1) + i
+
+    tris = []
+    for j in range(ny):
+        for i in range(nx):
+            tris.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)])
+            tris.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    return nodes, np.asarray(tris), vid
+
+
+def test_fem_unsteady_semi_implicit_channel():
+    """Semi-implicit unsteady solver (reference navier-stokes_SI formulation,
+    DataGeneration/coronary.py:110-130): impulsively-started channel flow
+    develops toward the steady parabolic profile, with the (p/ν)(n·v)
+    pressure surface term on the outflow."""
+    from tpinn.oracles import fem
+
+    nx, ny = 16, 8
+    nodes, tris, vid = _channel_mesh(nx, ny)
+    u_profile = lambda y: 4.0 * y * (1.0 - y)
+    dirichlet = {}
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            x, y = nodes[vid(i, j)]
+            if y < 1e-12 or y > 1 - 1e-12:
+                dirichlet[vid(i, j)] = (0.0, 0.0)
+            elif x < 1e-12:
+                dirichlet[vid(i, j)] = (u_profile(y), 0.0)
+
+    edges, _, _ = fem.boundary_edges_with_normals(nodes, tris)
+    out_sel = (nodes[edges[:, 0], 0] > 2.0 - 1e-12) & (
+        nodes[edges[:, 1], 0] > 2.0 - 1e-12)
+    # nu=2 (NOT 1): at nu=1 the reference's (p/nu) n.v surface term exactly
+    # cancels the natural -p n.v outflow flux and the constant-pressure mode
+    # becomes a nullspace (see solve_navier_stokes_unsteady docstring)
+    times, snaps = fem.solve_navier_stokes_unsteady(
+        nodes, tris, nu=2.0, dirichlet=dirichlet,
+        t_end=0.5, dt=0.05, pressure_outflow_edges=edges[out_sel],
+    )
+    assert len(snaps) == len(times) == 10
+    u0, _, _ = snaps[0]
+    uT, vT, pT = snaps[-1]
+    assert np.all(u0 == 0.0)                      # impulsive start
+    assert np.all(np.isfinite(uT)) and np.all(np.isfinite(pT))
+    # flow developed: mid-channel profile heads toward the parabola
+    mid = [vid(nx // 2, j) for j in range(ny + 1)]
+    expect = u_profile(nodes[mid][:, 1])
+    assert np.max(np.abs(uT[mid] - expect)) < 0.15
+    assert np.max(np.abs(vT)) < 0.1
+    # monotone development (velocity grows from rest)
+    u_mid_t = [s[0][vid(nx // 2, ny // 2)] for s in snaps]
+    assert u_mid_t[1] < u_mid_t[3] < u_mid_t[-1] + 1e-12
+
+
+def test_boundary_edge_normals_outward():
+    from tpinn.oracles import fem
+
+    nodes, tris, _ = _channel_mesh(4, 2)
+    edges, normals, lengths = fem.boundary_edges_with_normals(nodes, tris)
+    mids = 0.5 * (nodes[edges[:, 0]] + nodes[edges[:, 1]])
+    center = np.array([1.0, 0.5])
+    # outward: normal points away from the rectangle center
+    assert np.all(np.einsum("ed,ed->e", normals, mids - center) > 0)
+    assert np.allclose(np.linalg.norm(normals, axis=1), 1.0)
+    # total boundary length of the 2x1 rectangle
+    assert abs(lengths.sum() - 6.0) < 1e-12
+
+
+@pytest.mark.slow
+def test_coronary_unsteady_oracle_smoke(tmp_path):
+    """Unsteady coronary path on the real gmsh mesh: 3 semi-implicit steps
+    produce finite, flowing fields and the generate wrapper writes the
+    reference's per-step h5 + xdmf + bpoints layout
+    (DataGeneration/coronary.py:95-104,64-66)."""
+    import os
+
+    from tpinn.oracles import coronary as coro
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    msh = os.path.join(root, "examples", "Coronary_Flow", "coroParam.msh")
+    folder = coro.generate_coronary_unsteady(
+        str(tmp_path), msh, t_end=3e-4, dt=1e-4)
+    for it in range(3):
+        h5 = io.unsteady_h5_path(folder, it, formulation="navier-stokes_SI",
+                                 testcase="coronary")
+        assert os.path.exists(h5)
+        assert os.path.exists(os.path.splitext(h5)[0] + ".xdmf")
+    assert os.path.exists(os.path.join(folder, "bpoints.npy"))
+    u, v, p = io.read_fields_h5(
+        io.unsteady_h5_path(folder, 2, formulation="navier-stokes_SI",
+                            testcase="coronary"))
+    assert np.all(np.isfinite(u)) and np.all(np.isfinite(p))
+    assert np.max(np.abs(u)) > 0.1  # inflow has set the fluid moving

@@ -213,6 +213,103 @@ def solve_coronary(
     )
 
 
+def outflow_edges(nodes2d: np.ndarray, tris: np.ndarray,
+                  tol: float = 1e-12) -> np.ndarray:
+    """Boundary edges lying on the two outflow lines (reference subdomains
+    Outflow1: y + 2x − 4.8 = 0, Outflow2: x = 1.2 ∧ y < 0 —
+    DataGeneration/coronary.py:33-39).  An edge belongs to an outflow when
+    both endpoints satisfy its predicate."""
+    edges, _, _ = fem.boundary_edges_with_normals(nodes2d, tris)
+    x, y = nodes2d[:, 0], nodes2d[:, 1]
+    on1 = np.abs(y + 2.0 * x - 4.8) < tol
+    on2 = np.abs(x - 1.2) < tol
+    a, b = edges[:, 0], edges[:, 1]
+    mid_y = 0.5 * (y[a] + y[b])
+    sel = (on1[a] & on1[b]) | (on2[a] & on2[b] & (mid_y < 0))
+    return edges[sel]
+
+
+def solve_coronary_unsteady(
+    msh_path: str,
+    prm: CoronaryParams = CoronaryParams(),
+    t_end: float = 1e-2,
+    dt: float = 1e-4,
+    refine: int = 0,
+    verbose: bool = False,
+):
+    """Semi-implicit unsteady NS on the coronary mesh (the reference's
+    'navier-stokes_SI' formulation, DataGeneration/coronary.py:108-130):
+    no-slip walls + rotated parabolic inflow as Dirichlet, and the
+    (p/ν)(n·v) pressure surface terms on both outflow boundaries
+    (ds(2) + ds(3)).  Returns (nodes2d, times, snaps) with one nodal
+    (u, v, p) per time step, restricted to the original node set when
+    ``refine`` > 0."""
+    mesh = read_gmsh(msh_path)
+    nodes = mesh.nodes[:, :2]
+    tris = mesh.triangles
+    n_orig = nodes.shape[0]
+    for _ in range(int(refine)):
+        nodes, tris = refine_uniform(nodes, tris)
+
+    ball = boundary_vertices_of(tris)
+    marks = classify_boundary(nodes, ball)
+    dirichlet: Dict[int, Tuple[float, float]] = {}
+    for i in ball[marks == 0]:
+        dirichlet[int(i)] = (0.0, 0.0)
+    inf = ball[marks == 1]
+    u_in, v_in = inflow_profile(nodes[inf], prm)
+    for i, uu, vv in zip(inf, u_in, v_in):
+        dirichlet[int(i)] = (float(uu), float(vv))
+
+    times, snaps = fem.solve_navier_stokes_unsteady(
+        nodes,
+        tris,
+        nu=prm.ni,
+        dirichlet=dirichlet,
+        t_end=t_end,
+        dt=dt,
+        pressure_outflow_edges=outflow_edges(nodes, tris),
+        verbose=verbose,
+    )
+    snaps = [(u[:n_orig], v[:n_orig], p[:n_orig]) for u, v, p in snaps]
+    return nodes[:n_orig], times, snaps
+
+
+def generate_coronary_unsteady(
+    out_dir: str,
+    msh_path: str,
+    prm: CoronaryParams = CoronaryParams(),
+    t_end: float = 1e-2,
+    dt: float = 1e-4,
+    refine: int = 0,
+    verbose: bool = False,
+) -> str:
+    """Write the reference's unsteady coronary layout
+    (DataGeneration/coronary.py:95-104 + :64-66): per-step
+    ``navier-stokes_SI_coronary_unsteady_%05d.h5`` (+ .xdmf wrapper) and
+    ``bpoints.npy`` under ``<out_dir>/Coronary/``."""
+    folder = os.path.join(
+        out_dir, "Coronary" if not refine else f"Coronary_r{int(refine)}"
+    )
+    kw = dict(formulation="navier-stokes_SI", testcase="coronary")
+    n_times = len(np.arange(0.0, t_end, step=dt))
+    last = io.unsteady_h5_path(folder, n_times - 1, **kw)
+    bp_out = os.path.join(folder, "bpoints.npy")
+    if os.path.exists(last) and os.path.exists(bp_out):
+        return folder
+    nodes, times, snaps = solve_coronary_unsteady(
+        msh_path, prm, t_end=t_end, dt=dt, refine=refine, verbose=verbose
+    )
+    for it, ((u, v, p), t) in enumerate(zip(snaps, times)):
+        h5 = io.unsteady_h5_path(folder, it, **kw)
+        io.write_fields_h5(h5, u, v, p, geometry=nodes)
+        io.write_xdmf(os.path.splitext(h5)[0] + ".xdmf",
+                      os.path.basename(h5), len(nodes), time=float(t))
+    os.makedirs(folder, exist_ok=True)
+    np.save(bp_out, generate_bpoints(msh_path))
+    return folder
+
+
 def generate_coronary(
     out_dir: str,
     msh_path: str,

@@ -111,6 +111,179 @@ def _assemble_convection(nodes, tris, area, grads, u, v) -> sp.csr_matrix:
     ).tocsr()
 
 
+def _assemble_mass_consistent(nodes, tris, area) -> sp.csr_matrix:
+    """M_ij = ∫ φ_i φ_j (P1 consistent mass: area/12 · (1 + δ_ab))."""
+    T = len(tris)
+    M = len(nodes)
+    me = (area / 12.0)[:, None, None] * (
+        np.ones((3, 3)) + np.eye(3)
+    )[None, :, :]
+    rows = np.repeat(tris, 3, axis=1).reshape(T, 9)
+    cols = np.tile(tris, (1, 3)).reshape(T, 9)
+    return sp.coo_matrix(
+        (me.reshape(T, 9).ravel(), (rows.ravel(), cols.ravel())),
+        shape=(M, M),
+    ).tocsr()
+
+
+def boundary_edges_with_normals(nodes: np.ndarray, tris: np.ndarray):
+    """Boundary edges with outward unit normals and lengths.
+
+    Returns (edges (E, 2) node pairs, normals (E, 2), lengths (E,)).  The
+    normal of an edge owned by one triangle points away from that triangle's
+    opposite vertex.
+    """
+    edge_list = np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0
+    )
+    opposite = np.concatenate([tris[:, 2], tris[:, 0], tris[:, 1]], axis=0)
+    key = np.sort(edge_list, axis=1)
+    uniq, first, counts = np.unique(
+        key, axis=0, return_index=True, return_counts=True
+    )
+    sel = first[counts == 1]
+    edges = edge_list[sel]
+    opp = opposite[sel]
+    tang = nodes[edges[:, 1]] - nodes[edges[:, 0]]
+    lengths = np.linalg.norm(tang, axis=1)
+    normals = np.stack([tang[:, 1], -tang[:, 0]], axis=1) / lengths[:, None]
+    mid = 0.5 * (nodes[edges[:, 0]] + nodes[edges[:, 1]])
+    flip = np.einsum("ed,ed->e", normals, mid - nodes[opp]) < 0
+    normals[flip] *= -1.0
+    return edges, normals, lengths
+
+
+def _assemble_boundary_pressure_coupling(n_nodes, edges, normals, lengths):
+    """S(d)_ij = ∫_Γ φ_i φ_j n_d ds over the given boundary edges.
+
+    The reference's unsteady coronary form adds (p/ν)(n·v) surface terms on
+    the outflow boundaries (DataGeneration/coronary.py:123); per P1 edge the
+    mass is L/6 · [[2,1],[1,2]] scaled by the edge normal component."""
+    E = len(edges)
+    base = np.array([[2.0, 1.0], [1.0, 2.0]]) / 6.0
+    rows = np.repeat(edges, 2, axis=1).reshape(E, 4)
+    cols = np.tile(edges, (1, 2)).reshape(E, 4)
+    out = []
+    for d in range(2):
+        se = base[None, :, :] * (lengths * normals[:, d])[:, None, None]
+        out.append(
+            sp.coo_matrix(
+                (se.reshape(E, 4).ravel(), (rows.ravel(), cols.ravel())),
+                shape=(n_nodes, n_nodes),
+            ).tocsr()
+        )
+    return out[0], out[1]
+
+
+def solve_navier_stokes_unsteady(
+    nodes: np.ndarray,
+    tris: np.ndarray,
+    nu: float,
+    dirichlet: Dict[int, Tuple[float, float]],
+    t_end: float,
+    dt: float,
+    pressure_outflow_edges: Optional[np.ndarray] = None,
+    alpha_stab: float = 0.05,
+    verbose: bool = False,
+):
+    """Semi-implicit unsteady incompressible NS (the reference coronary
+    solver's 'navier-stokes_SI' formulation, DataGeneration/coronary.py:
+    110-130): each step solves the LINEAR system
+
+        (u, v)/dt + ν(∇u, ∇v) + ((∇u)·u_old, v) − (∇·v) p + q (∇·u)
+          + (p/ν)(n·v) over the outflow boundary  =  (u_old, v)/dt
+
+    with P1–P1 Brezzi–Pitkäranta stabilization on the continuity equation.
+    ``pressure_outflow_edges``: (E, 2) boundary-edge node pairs carrying the
+    (p/ν)(n·v) surface term (the reference's ds(2) + ds(3) outflows); the
+    rest of the non-Dirichlet boundary is natural (do-nothing).
+
+    Caveat inherited from the reference formulation: at ν = 1 the (p/ν) n·v
+    surface term exactly cancels the natural −p n·v outflow flux, leaving
+    the constant-pressure mode unconstrained (singular system).  The
+    coronary case runs at ν ≈ 94.3 where the cancellation is partial and
+    the system is well-posed; avoid ν = 1 with this term enabled.
+
+    Returns (times, snaps) with times[0] = 0 (zero initial state, as the
+    reference's unsaved ``w`` initializes) and one nodal (u, v, p) per step.
+    """
+    M = len(nodes)
+    area, grads = _triangle_geometry(nodes, tris)
+    K = _assemble_stiffness(nodes, tris, area, grads)
+    Bx, By = _assemble_divergence(nodes, tris, area, grads)
+    Mc = _assemble_mass_consistent(nodes, tris, area)
+    hT2 = 2.0 * area
+    T = len(tris)
+    rows = np.repeat(tris, 3, axis=1).reshape(T, 9)
+    cols = np.tile(tris, (1, 3)).reshape(T, 9)
+    ce = (
+        np.einsum("tad,tbd->tab", grads, grads)
+        * (alpha_stab * hT2 * area)[:, None, None]
+    )
+    C = sp.coo_matrix(
+        (ce.transpose(0, 2, 1).reshape(T, 9).ravel(),
+         (rows.ravel(), cols.ravel())),
+        shape=(M, M),
+    ).tocsr()
+
+    if pressure_outflow_edges is not None and len(pressure_outflow_edges):
+        all_edges, all_normals, all_lengths = boundary_edges_with_normals(
+            nodes, tris
+        )
+        keys = {tuple(sorted(e)) for e in np.asarray(pressure_outflow_edges)}
+        sel = np.array(
+            [tuple(sorted(e)) in keys for e in all_edges], dtype=bool
+        )
+        Sx, Sy = _assemble_boundary_pressure_coupling(
+            M, all_edges[sel], all_normals[sel], all_lengths[sel]
+        )
+        Px = -Bx.T + Sx / nu
+        Py = -By.T + Sy / nu
+    else:
+        Px, Py = -Bx.T, -By.T
+
+    dir_idx = np.fromiter(dirichlet.keys(), dtype=np.int64)
+    dir_u = np.array([dirichlet[i][0] for i in dir_idx])
+    dir_v = np.array([dirichlet[i][1] for i in dir_idx])
+
+    u = np.zeros(M)
+    v = np.zeros(M)
+    p = np.zeros(M)
+    # reference initial state: w = 0 except Dirichlet values enter through
+    # the first solve's boundary rows
+    times = np.arange(0.0, t_end, step=dt)
+    snaps = [(u.copy(), v.copy(), p.copy())]
+    for i, t in enumerate(times[1:], start=1):
+        N = _assemble_convection(nodes, tris, area, grads, u, v)
+        A = Mc / dt + nu * K + N
+        sys = sp.bmat(
+            [
+                [A, None, Px],
+                [None, A, Py],
+                [Bx, By, C],
+            ],
+            format="lil",
+        )
+        rhs = np.zeros(3 * M)
+        rhs[:M] = Mc @ u / dt
+        rhs[M: 2 * M] = Mc @ v / dt
+        for r, val in zip(dir_idx, dir_u):
+            sys.rows[r] = [r]
+            sys.data[r] = [1.0]
+            rhs[r] = val
+        for r0, val in zip(dir_idx, dir_v):
+            r = r0 + M
+            sys.rows[r] = [r]
+            sys.data[r] = [1.0]
+            rhs[r] = val
+        sol = spla.spsolve(sys.tocsr(), rhs)
+        u, v, p = sol[:M], sol[M: 2 * M], sol[2 * M:]
+        if verbose:
+            print(f"  t = {t:.6f}: max|u| {np.max(np.abs(u)):.4f}")
+        snaps.append((u.copy(), v.copy(), p.copy()))
+    return times, snaps
+
+
 def boundary_nodes(tris: np.ndarray) -> np.ndarray:
     """Node indices on the mesh boundary (edges owned by one triangle)."""
     edges = np.concatenate(

@@ -82,6 +82,47 @@ def shard_points(arr, mesh: Mesh, pad: bool = True):
     return jax.device_put(arr, point_sharding(mesh))
 
 
+def shard_pair(x, rhs_list, mesh: Mesh):
+    """Shard an **rhs-paired** point batch exactly, whatever its length.
+
+    Pads ``x`` (repeating the last point) and every same-length rhs array in
+    ``rhs_list`` (repeating its last entry) up to the next multiple of the
+    mesh size, and returns a mask-scale vector ``m`` with
+    ``m[:n] = sqrt(n_pad/n)`` and ``m[n:] = 0`` so that
+    ``mean((m*r)**2)`` over the padded batch equals ``mean(r**2)`` over the
+    original one — the sharded objective is **bit-for-bit the same
+    mathematical mean**, not a nearly-equal one.  Scalar rhs entries pass
+    through unchanged.
+
+    Returns ``(x_sharded, rhs_sharded_list, scale)``; ``scale`` is None when
+    no padding was needed.
+    """
+    x = jnp.asarray(x)
+    n = int(x.shape[0])
+    n_dev = int(mesh.devices.size)
+    k = (-n) % n_dev
+    sh = point_sharding(mesh)
+
+    def _pad(a):
+        return jnp.concatenate([a, jnp.repeat(a[-1:], k, axis=0)], axis=0)
+
+    def _place_rhs(r):
+        if jnp.ndim(r) == 0:
+            return r
+        r = jnp.asarray(r)
+        return jax.device_put(r if k == 0 else _pad(r), sh)
+
+    xs = jax.device_put(x if k == 0 else _pad(x), sh)
+    rs = [_place_rhs(r) for r in rhs_list]
+    if k == 0:
+        return xs, rs, None
+    scale = jnp.concatenate([
+        jnp.full((n,), np.sqrt((n + k) / n), dtype=x.dtype),
+        jnp.zeros((k,), dtype=x.dtype),
+    ])
+    return xs, rs, jax.device_put(scale, sh)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a parameter pytree across the mesh."""
     sharding = replicated(mesh)
