@@ -1,0 +1,32 @@
+#!/bin/bash
+# CPU-f64 lane, part 10 (round 2): close the last hybrid gap (VERDICT r1
+# item 4) — Poiseuille #001 v_test 2.40e-10 vs reference 8.11e-11.  An LM
+# polish round exploits the least-squares structure where BFGS stalls.
+# Queues behind lane9 (one CPU core).
+cd /root/repo
+export JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 PYTHONPATH=/root/repo
+
+while kill -0 "$(cat /tmp/lane9_cpu.pid 2>/dev/null)" 2>/dev/null; do sleep 120; done
+
+echo "=== poiseuille #001 LM polish 200 $(date) ==="
+timeout 7000 python -u examples/Poiseuille_Flow/poiseuille_flow.py \
+  --resume 'examples/Poiseuille_Flow/Test_Case_#001' --seed 0 \
+  --epochs 200 --second-round lm > /tmp/lane10_poiseuille_lm.log 2>&1
+tail -3 /tmp/lane10_poiseuille_lm.log
+
+# if v_test still above the reference, one more BFGS round from the LM point
+python - <<'PY'
+import json
+h = json.load(open('examples/Poiseuille_Flow/Test_Case_#001/History_Loss.json'))
+v = h['losses_test']['v_test']['log'][-1]
+print('v_test after LM:', v)
+raise SystemExit(0 if v <= 8.11e-11 else 1)
+PY
+if [ $? -ne 0 ]; then
+  echo "=== poiseuille #001 BFGS cont 10k $(date) ==="
+  timeout 7000 python -u examples/Poiseuille_Flow/poiseuille_flow.py \
+    --resume 'examples/Poiseuille_Flow/Test_Case_#001' --seed 0 \
+    --epochs 10000 --second-round jax-bfgs > /tmp/lane10_poiseuille_bfgs.log 2>&1
+  tail -3 /tmp/lane10_poiseuille_bfgs.log
+fi
+echo "=== lane10_cpu done $(date) ==="
