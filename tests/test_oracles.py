@@ -425,3 +425,79 @@ def test_coronary_unsteady_oracle_smoke(tmp_path):
                             testcase="coronary"))
     assert np.all(np.isfinite(u)) and np.all(np.isfinite(p))
     assert np.max(np.abs(u)) > 0.1  # inflow has set the fluid moving
+
+
+def test_fem_stokes_linear_solve():
+    """Stokes formulation option (reference fluid_solver_steady.py:64-72):
+    the pressure-driven channel is an exact Stokes solution, and on a
+    lid-driven problem the linear solve must differ from the NS one."""
+    from tpinn.oracles import fem
+
+    nx, ny = 16, 8
+    nodes, tris, vid = _channel_mesh(nx, ny)
+    u_profile = lambda y: 4.0 * y * (1.0 - y)
+    dirichlet = {}
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            x, y = nodes[vid(i, j)]
+            if y < 1e-12 or y > 1 - 1e-12:
+                dirichlet[vid(i, j)] = (0.0, 0.0)
+            elif x < 1e-12:
+                dirichlet[vid(i, j)] = (u_profile(y), 0.0)
+    u, v, p = fem.solve_stokes(nodes, tris, nu=1.0, dirichlet=dirichlet)
+    mid = [vid(nx // 2, j) for j in range(ny + 1)]
+    assert np.max(np.abs(u[mid] - u_profile(nodes[mid][:, 1]))) < 0.05
+    assert np.max(np.abs(v)) < 0.05
+
+    # convection matters at Re>0 with a lid: Stokes != NS
+    lid = {}
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            x, y = nodes[vid(i, j)]
+            if y > 1 - 1e-12:
+                lid[vid(i, j)] = (1.0, 0.0)
+            elif y < 1e-12 or x < 1e-12 or x > 2 - 1e-12:
+                lid[vid(i, j)] = (0.0, 0.0)
+    us, _, _ = fem.solve_stokes(nodes, tris, nu=0.02, dirichlet=lid)
+    un, _, _ = fem.solve_navier_stokes(nodes, tris, nu=0.02, dirichlet=lid,
+                                       picard_iters=12)
+    assert np.max(np.abs(us - un)) > 1e-3
+
+
+def test_fem_unsteady_formulations():
+    """The reference's three unsteady formulations
+    (fluid_solver_unsteady.py:110-150): stokes drops convection, implicit
+    converges the convection per step — at low Re all three land near the
+    same developed channel flow, and implicit == semi-implicit to O(dt)."""
+    from tpinn.oracles import fem
+
+    nx, ny = 12, 6
+    nodes, tris, vid = _channel_mesh(nx, ny)
+    u_profile = lambda y: 4.0 * y * (1.0 - y)
+    dirichlet = {}
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            x, y = nodes[vid(i, j)]
+            if y < 1e-12 or y > 1 - 1e-12:
+                dirichlet[vid(i, j)] = (0.0, 0.0)
+            elif x < 1e-12:
+                dirichlet[vid(i, j)] = (u_profile(y), 0.0)
+
+    outs = {}
+    for form in ("stokes", "navier-stokes_SI", "navier-stokes_I"):
+        _, snaps = fem.solve_navier_stokes_unsteady(
+            nodes, tris, nu=2.0, dirichlet=dirichlet, t_end=0.3, dt=0.05,
+            formulation=form)
+        outs[form] = snaps[-1][0]
+    mid = [vid(nx // 2, j) for j in range(ny + 1)]
+    for form, u in outs.items():
+        assert np.all(np.isfinite(u)), form
+        assert np.max(np.abs(u[mid] - u_profile(nodes[mid][:, 1]))) < 0.2, form
+    # implicit and semi-implicit agree closely at this Re/dt
+    assert np.max(np.abs(outs["navier-stokes_I"]
+                         - outs["navier-stokes_SI"])) < 0.05
+
+    with pytest.raises(ValueError):
+        fem.solve_navier_stokes_unsteady(
+            nodes, tris, nu=2.0, dirichlet=dirichlet, t_end=0.1, dt=0.05,
+            formulation="nope")

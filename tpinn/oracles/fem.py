@@ -111,6 +111,24 @@ def _assemble_convection(nodes, tris, area, grads, u, v) -> sp.csr_matrix:
     ).tocsr()
 
 
+def solve_stokes(
+    nodes: np.ndarray,
+    tris: np.ndarray,
+    nu: float,
+    dirichlet: Dict[int, Tuple[float, float]],
+    alpha_stab: float = 0.05,
+):
+    """Linear Stokes solve (the reference FEM stage's 'stokes' formulation
+    option, fluid_solver_steady.py:64-72): ν(∇u,∇v) − (∇·v)p + q(∇·u) = 0
+    with the same P1–P1 stabilized discretization.  With a zero initial
+    state the first Picard iteration has no convection, so one iteration of
+    the NS solver IS the Stokes solve."""
+    return solve_navier_stokes(
+        nodes, tris, nu=nu, dirichlet=dirichlet, alpha_stab=alpha_stab,
+        picard_iters=1,
+    )
+
+
 def _assemble_mass_consistent(nodes, tris, area) -> sp.csr_matrix:
     """M_ij = ∫ φ_i φ_j (P1 consistent mass: area/12 · (1 + δ_ab))."""
     T = len(tris)
@@ -184,11 +202,22 @@ def solve_navier_stokes_unsteady(
     dt: float,
     pressure_outflow_edges: Optional[np.ndarray] = None,
     alpha_stab: float = 0.05,
+    formulation: str = "navier-stokes_SI",
+    inner_iters: int = 12,
+    inner_tol: float = 1e-10,
     verbose: bool = False,
 ):
-    """Semi-implicit unsteady incompressible NS (the reference coronary
-    solver's 'navier-stokes_SI' formulation, DataGeneration/coronary.py:
-    110-130): each step solves the LINEAR system
+    """Unsteady incompressible NS in the reference's three formulations
+    (fluid_solver_unsteady.py:110-150, DataGeneration/coronary.py:110-130):
+
+    * ``'navier-stokes_SI'`` (default) — semi-implicit: convection frozen
+      at u_old, one LINEAR solve per step
+    * ``'stokes'`` — no convection term
+    * ``'navier-stokes_I'`` — fully implicit: the convection is converged
+      by Picard sub-iterations per step (the fixed point equals the
+      reference's Newton solve to ``inner_tol``)
+
+    The semi-implicit step solves the LINEAR system
 
         (u, v)/dt + ν(∇u, ∇v) + ((∇u)·u_old, v) − (∇·v) p + q (∇·u)
           + (p/ν)(n·v) over the outflow boundary  =  (u_old, v)/dt
@@ -251,11 +280,16 @@ def solve_navier_stokes_unsteady(
     p = np.zeros(M)
     # reference initial state: w = 0 except Dirichlet values enter through
     # the first solve's boundary rows
-    times = np.arange(0.0, t_end, step=dt)
-    snaps = [(u.copy(), v.copy(), p.copy())]
-    for i, t in enumerate(times[1:], start=1):
-        N = _assemble_convection(nodes, tris, area, grads, u, v)
-        A = Mc / dt + nu * K + N
+    if formulation not in ("navier-stokes_SI", "stokes", "navier-stokes_I"):
+        raise ValueError(f"unknown formulation {formulation!r}")
+
+    def _linear_step(u_conv, v_conv, u_old, v_old):
+        """One linear solve with convection frozen at (u_conv, v_conv)."""
+        if formulation == "stokes":
+            A = Mc / dt + nu * K
+        else:
+            N = _assemble_convection(nodes, tris, area, grads, u_conv, v_conv)
+            A = Mc / dt + nu * K + N
         sys = sp.bmat(
             [
                 [A, None, Px],
@@ -265,8 +299,8 @@ def solve_navier_stokes_unsteady(
             format="lil",
         )
         rhs = np.zeros(3 * M)
-        rhs[:M] = Mc @ u / dt
-        rhs[M: 2 * M] = Mc @ v / dt
+        rhs[:M] = Mc @ u_old / dt
+        rhs[M: 2 * M] = Mc @ v_old / dt
         for r, val in zip(dir_idx, dir_u):
             sys.rows[r] = [r]
             sys.data[r] = [1.0]
@@ -277,7 +311,24 @@ def solve_navier_stokes_unsteady(
             sys.data[r] = [1.0]
             rhs[r] = val
         sol = spla.spsolve(sys.tocsr(), rhs)
-        u, v, p = sol[:M], sol[M: 2 * M], sol[2 * M:]
+        return sol[:M], sol[M: 2 * M], sol[2 * M:]
+
+    times = np.arange(0.0, t_end, step=dt)
+    snaps = [(u.copy(), v.copy(), p.copy())]
+    for i, t in enumerate(times[1:], start=1):
+        if formulation == "navier-stokes_I":
+            u_old, v_old = u, v
+            uk, vk = u, v
+            for k in range(inner_iters):
+                u_new, v_new, p = _linear_step(uk, vk, u_old, v_old)
+                delta = max(np.max(np.abs(u_new - uk)),
+                            np.max(np.abs(v_new - vk)))
+                uk, vk = u_new, v_new
+                if delta < inner_tol * max(1e-12, np.max(np.abs(u_new))):
+                    break
+            u, v = uk, vk
+        else:
+            u, v, p = _linear_step(u, v, u, v)
         if verbose:
             print(f"  t = {t:.6f}: max|u| {np.max(np.abs(u)):.4f}")
         snaps.append((u.copy(), v.copy(), p.copy()))
