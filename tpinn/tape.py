@@ -140,17 +140,51 @@ class TapedArray:
 
     # -- operators ---------------------------------------------------------
     def __getitem__(self, idx) -> "TapedArray":
+        """Indexing that preserves differentiability where possible.
+
+        Supported patterns keep ``fn``:
+        * ``u[:, k]`` / ``u[:, a:b]`` / ``u[..., k]`` — per-point component
+          selection (batch axis untouched)
+        * ``u[a:b]`` / ``u[idx_array]`` / ``u[mask]`` — batch-axis
+          selection: the result derives from the corresponding sub-batch of
+          the same watched input (operators differentiate on ``u.x``), so
+          e.g. ``gradient_scalar(tape, u[sel][:, 0], x)`` works
+        * combinations ``u[sel, k]``
+
+        A scalar row index (``u[5]``) drops the batch axis and severs
+        differentiability (clear error at use, tpinn.tape.pointwise_fn).
+        """
         value = self.value[idx]
-        fn = None
-        if self.fn is not None and isinstance(idx, tuple) and len(idx) >= 2:
-            head, rest = idx[0], idx[1:]
-            if isinstance(head, slice) and head == slice(None):
-                inner = self.fn
-                point_idx = rest[0] if len(rest) == 1 else rest
-                fn = lambda xi: inner(xi)[point_idx]
-        elif self.fn is not None and isinstance(idx, slice) and idx == slice(None):
-            fn = self.fn
-        return TapedArray(value, fn, self.x)
+        if self.fn is None:
+            return TapedArray(value, None, self.x)
+        tup = idx if isinstance(idx, tuple) else (idx,)
+        head, rest = tup[0], tup[1:]
+        inner = self.fn
+
+        def point_fn():
+            if not rest:
+                return inner
+            pi = rest[0] if len(rest) == 1 else rest
+            return lambda xi: inner(xi)[pi]
+
+        if isinstance(head, slice):
+            if head == slice(None):
+                return TapedArray(value, point_fn(), self.x)
+            # batch-axis slice: same per-point fn on the sub-batch
+            return TapedArray(value, point_fn(), self.x[head])
+        if head is Ellipsis:
+            if not rest:
+                return TapedArray(value, inner, self.x)
+            pi = (Ellipsis,) + rest
+            return TapedArray(value, lambda xi: inner(xi)[pi], self.x)
+        arr = None
+        if isinstance(head, (list, tuple)) or hasattr(head, "ndim"):
+            arr = jnp.asarray(head)
+        if arr is not None and arr.ndim == 1:
+            # fancy batch-axis selection (integer gather or boolean mask)
+            return TapedArray(value, point_fn(), self.x[head])
+        # scalar row index etc.: value math only, fn severed
+        return TapedArray(value, None, self.x)
 
     def __add__(self, other):
         return self._binary(other, jnp.add)
