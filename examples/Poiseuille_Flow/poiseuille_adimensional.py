@@ -204,7 +204,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--second-round", default="scipy",
-                    choices=["scipy", "jax", "jax-bfgs"])
+                    choices=["scipy", "scipy-parity", "jax", "jax-bfgs"])
     ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--no-plots", action="store_true")
     args = ap.parse_args()

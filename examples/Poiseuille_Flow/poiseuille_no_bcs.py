@@ -80,7 +80,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--second-round", default="scipy",
-                    choices=["scipy", "jax", "jax-bfgs", "lm", "adam", "none"])
+                    choices=["scipy", "scipy-parity", "jax", "jax-bfgs", "lm", "adam", "none"])
     ap.add_argument("--scratch", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None, metavar="FOLDER")
