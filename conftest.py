@@ -41,3 +41,43 @@ else:  # pragma: no cover - backend initialized before conftest
         "JAX backend initialized before conftest; run tests with "
         "PYTHONPATH= JAX_PLATFORMS=cpu to avoid the remote-compile plugin"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quick-tier budget audit (VERDICT r1 item 5): any non-slow test that runs
+# longer than TPINN_QUICK_BUDGET_S (default 120 s — roughly 30 s uncontended,
+# this container usually has a campaign lane sharing its single CPU core)
+# is reported at the end of the run with instructions to mark it slow.
+# Set TPINN_ENFORCE_QUICK_BUDGET=1 to turn the report into a failure.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_OVER_BUDGET = []
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    out = yield
+    rep = out.get_result()
+    if rep.when == "call":
+        budget = float(os.environ.get("TPINN_QUICK_BUDGET_S", "120"))
+        slow = any(m.name == "slow" for m in item.iter_markers())
+        if not slow and rep.duration > budget:
+            _OVER_BUDGET.append((item.nodeid, rep.duration))
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if _OVER_BUDGET:
+        terminalreporter.section("quick-tier budget audit")
+        for nid, dur in sorted(_OVER_BUDGET, key=lambda t: -t[1]):
+            terminalreporter.write_line(
+                f"OVER BUDGET ({dur:.1f}s > "
+                f"{os.environ.get('TPINN_QUICK_BUDGET_S', '120')}s): {nid}"
+                " — mark it @pytest.mark.slow or shrink it"
+            )
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _OVER_BUDGET and os.environ.get("TPINN_ENFORCE_QUICK_BUDGET") == "1":
+        session.exitstatus = 1

@@ -88,8 +88,11 @@ def test_neumann_residual_on_exact_poiseuille(poiseuille_exact_setup):
     np.testing.assert_allclose(np.asarray(r2), 0.0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_driver_end_to_end_tiny():
-    """Full StandardNSDriver pipeline on a coarse Poiseuille config."""
+    """Full StandardNSDriver pipeline on a coarse Poiseuille config (with
+    Neumann losses — their second-derivative jet compile makes this the
+    slow-tier variant; the quick tier runs the Dirichlet-only one below)."""
     prm = analytic.PoiseuilleParams()
     spec = CaseSpec(
         name="Poiseuille_Tiny",
@@ -118,7 +121,10 @@ def test_driver_end_to_end_tiny():
     with tempfile.TemporaryDirectory() as td:
         driver = StandardNSDriver(
             spec, opts, base_dir=td, save_results=True, seed=0,
-            second_round="scipy", adam_epochs=30,
+            # scipy-parity: the host round keeps this full-pipeline test out
+            # of the dense-BFGS compile budget; the 'scipy'->jax-BFGS routing
+            # itself is unit-tested below with a recorded minimize
+            second_round="scipy-parity", adam_epochs=30,
         )
         pb = driver.train(callbacks=False)
         assert pb.history.loss_global[-1] < pb.history.loss_global[0]
@@ -140,6 +146,7 @@ def test_driver_end_to_end_tiny():
         assert set(losses) == {"u_test", "v_test", "p_test"}
 
 
+@pytest.mark.slow
 def test_driver_fused_pallas_pde_losses_match_xla(monkeypatch):
     """TPINN_USE_PALLAS=1 routes the PDE losses through the fused kernel
     (interpret mode off-TPU); loss values must match the XLA jet path."""
@@ -231,10 +238,13 @@ def test_driver_resume_appends_rounds(tmp_path):
     folder = d1.folder
     h1_last = d1.pb.history.iters[-1]
 
-    d2 = make_driver("jax-bfgs")
+    # L-BFGS: the cheapest-to-compile on-device second round — the resume
+    # plumbing under test is optimizer-agnostic (dense BFGS is exercised in
+    # tests/test_optimize_bfgs.py)
+    d2 = make_driver("jax")
     d2.train(resume_from=folder, callbacks=True)
     h2 = d2.pb.history
-    assert h2.round_names[-1] == "jax_BFGS"
+    assert h2.round_names[-1] == "jax_L-BFGS"
     assert h2.round_names.count("keras_Adam") == 1  # no second Adam round
     assert h2.round_starts[-1] == h1_last + 1
     assert h2.loss_global[-1] <= d1.pb.history.loss_global[-1] * 1.0001
@@ -289,20 +299,67 @@ def _tiny_spec():
     )
 
 
-def test_second_round_scipy_routes_to_resumable_bfgs():
+def test_driver_end_to_end_quick(tmp_path):
+    """Quick-tier end-to-end: all 13 stages and every artifact, on a
+    Dirichlet-only spec (no Neumann jet compile)."""
+    import os
+
+    opts = SimulationOptions(epochs=10, n_pde=24, n_bc=6, n_vel=4,
+                             n_pres=0, n_test=12)
+    driver = StandardNSDriver(
+        _tiny_spec(), opts, base_dir=str(tmp_path), save_results=True,
+        seed=0, second_round="scipy-parity", adam_epochs=10,
+    )
+    pb = driver.train(callbacks=False)
+    assert pb.history.round_names == ["keras_Adam", "scipy_BFGS"]
+    driver.save_artifacts(
+        loss_groups={"Test_Loss": ["u_test", "v_test", "p_test"]}
+    )
+    folder = driver.folder
+    for artifact in (
+        "Model.json", "Weights.h5", "History_Loss.json",
+        "Graphic.jpg", "Loss_Trend_Reduced.png", "Test_Options.txt",
+        "checkpoint.pkl",
+    ):
+        assert os.path.exists(os.path.join(folder, artifact)), artifact
+    assert os.path.basename(folder) == "Test_Case_#001"
+
+
+def test_second_round_scipy_routes_to_resumable_bfgs(monkeypatch):
     """VERDICT r1 item 8: 'scipy' second rounds default to the on-device
     dense BFGS (exactly checkpoint-resumable carry); 'scipy-parity'
-    requests the reference's actual host-scipy round."""
+    requests the reference's actual host-scipy round.  Routing is asserted
+    on a recorded minimize; the real optimizer paths are covered by
+    tests/test_optimize*.py and test_driver_resume_appends_rounds."""
+    import tpinn.driver as drv_mod
+
     opts = SimulationOptions(epochs=3, n_pde=16, n_bc=4, n_vel=4,
                              n_pres=0, n_test=8)
-    drv = StandardNSDriver(_tiny_spec(), opts, save_results=False, seed=0,
-                           second_round="scipy", adam_epochs=3)
-    pb = drv.train(callbacks=False)
-    assert pb.history.round_names == ["keras_Adam", "jax_BFGS"]
-    assert pb.last_opt_state is not None  # resumable carry
+    recorded = []
+    monkeypatch.setattr(
+        drv_mod, "minimize",
+        lambda pb, framework, method, num_epochs=None, **kw:
+            recorded.append((framework,
+                             getattr(method, "__class__", type(method)).__name__
+                             if framework == "keras" else method)))
 
-    drv2 = StandardNSDriver(_tiny_spec(), opts, save_results=False, seed=0,
-                            second_round="scipy-parity", adam_epochs=3)
-    pb2 = drv2.train(callbacks=False)
-    assert pb2.history.round_names == ["keras_Adam", "scipy_BFGS"]
-    assert pb2.last_opt_state is None  # scipy owns its state
+    for second_round, expect in (
+        ("scipy", ("jax", "BFGS")),
+        ("scipy-parity", ("scipy", "BFGS")),
+        ("jax-bfgs", ("jax", "BFGS")),
+        ("lm", ("jax", "LM")),
+    ):
+        recorded.clear()
+        drv = StandardNSDriver(_tiny_spec(), opts, save_results=False, seed=0,
+                               second_round=second_round, adam_epochs=3)
+        drv.train(callbacks=False)
+        assert recorded[0][0] == "keras"
+        assert recorded[1] == expect, second_round
+
+    # L-BFGS-B scipy_method routes to the on-device L-BFGS
+    recorded.clear()
+    drv = StandardNSDriver(_tiny_spec(), opts, save_results=False, seed=0,
+                           second_round="scipy", scipy_method="L-BFGS-B",
+                           adam_epochs=3)
+    drv.train(callbacks=False)
+    assert recorded[1] == ("jax", "L-BFGS")

@@ -30,7 +30,12 @@ def test_dryrun_body_8_devices(capsys):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_dryrun_dispatches_inproc_when_devices_available():
+def test_dryrun_dispatches_inproc_when_devices_available(monkeypatch):
     # Backend is initialized with 8 devices here, so the public entry point
-    # must take the in-process path (no subprocess) and succeed.
+    # must take the in-process path (no subprocess).  The body itself is
+    # covered by test_dryrun_body_8_devices; a recorder keeps this dispatch
+    # check out of the compile budget.
+    calls = []
+    monkeypatch.setattr(graft, "_dryrun_body", lambda n: calls.append(n))
     graft.dryrun_multichip(8)
+    assert calls == [8]

@@ -74,7 +74,7 @@ def test_adam_then_scipy_poisson(poisson_problem):
 def test_jax_lbfgs_decreases_loss(poisson_problem):
     model, pb = poisson_problem
     before = pb.history.loss_global[-1]
-    ns.minimize(pb, "jax", "L-BFGS", num_epochs=100)
+    ns.minimize(pb, "jax", "L-BFGS", num_epochs=25)
     after = pb.history.loss_global[-1]
     assert after <= before * 1.01
     assert pb.history.round_names[-1] == "jax_L-BFGS"

@@ -39,6 +39,7 @@ def test_pallas_bundle_3d_input():
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_ns_residual_mse_custom_vjp_matches_xla():
     """Hand-written backward kernel: grads of the fused residual MSEs match
     jax.grad of the XLA jet path to float64 precision (interpret mode)."""
@@ -85,6 +86,7 @@ def test_ns_residual_mse_custom_vjp_matches_xla():
                                rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_ns_residual_mse_unsteady_matches_xla():
     """Unsteady (t, x, y) layout: 6 Taylor streams, ∂t momentum term, and
     the hand-written backward — all vs jax.grad of the XLA jet path."""
@@ -167,6 +169,7 @@ def test_high_precision_ambient_detection():
     assert not _high_precision_ambient()
 
 
+@pytest.mark.slow
 def test_ns_residual_mse_high_precision_chunk_cap():
     """Under the highest-precision context the fused kernels cap the chunk
     at 512; results (fwd + grad) must be identical to the uncapped path.

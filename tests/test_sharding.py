@@ -85,6 +85,7 @@ def test_sharded_training_step_runs(mesh):
     assert pb.history.loss_global[-1] < pb.history.loss_global[0]
 
 
+@pytest.mark.slow
 def test_sharded_fused_residual_mse_matches_single(mesh):
     """shard_map-wrapped Pallas NS-residual MSEs (interpret mode) equal the
     single-instance kernel, values AND parameter grads, on the 8-dev mesh."""
