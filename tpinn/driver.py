@@ -138,12 +138,13 @@ class StandardNSDriver:
         mesh (loss means then reduce with XLA-inserted psums; see
         tpinn.sharding).
 
-        When the point count does not divide the device count: with
-        ``pad=True`` the batch is padded by repeating the last point (safe
-        for collocation batches — the PDE residual mean over a slightly
-        duplicated sample set is still a valid objective); otherwise the
-        batch stays unsharded and a warning is emitted (batches paired with
-        an rhs array must keep their exact length)."""
+        Used for the PDE collocation batch only.  When the point count does
+        not divide the device count: with ``pad=True`` the batch is padded
+        by repeating the last point — the fused Pallas kernel computes its
+        MSEs internally, and a PDE residual mean over a slightly duplicated
+        collocation set is still a valid objective.  Rhs-paired batches
+        (BC/IC/fit/test) go through :meth:`_shard_pair` instead, whose
+        mask-scale padding keeps their means mathematically exact."""
         if self.mesh is None:
             return arr
         n_dev = self.mesh.devices.size
