@@ -205,9 +205,13 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
             # (cast to the model dtype: stage-A checkpoints are float32)
             from tpinn.checkpoint import load_checkpoint
 
-            state = load_checkpoint(ckpt_path)["params"]
+            ckpt = load_checkpoint(ckpt_path)
             model.variables.set(jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a, model.dtype), state))
+                lambda a: jnp.asarray(a, model.dtype), ckpt["params"]))
+            # tagged optimizer state (LM theta64+mu / dense-BFGS carry):
+            # a matching second round continues exactly — in particular the
+            # split-carry sub-ulp lo channel survives the process restart
+            pb.resume_opt_state = ckpt.get("opt_state")
         hist_path = os.path.join(resume_from, "History_Loss.json")
         if os.path.exists(hist_path):
             pb.history = History.load(hist_path)
@@ -240,7 +244,8 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         ns.minimize(pb, "keras", optax.adam(sched), num_epochs=opts.epochs)
 
     # ----- artifacts
-    ns.checkpoint.save_experiment(folder, model, pb.history)
+    ns.checkpoint.save_experiment(folder, model, pb.history,
+                                  opt_state=pb.last_opt_state)
     out = np.asarray(model(dom_grid))
     import h5py
 

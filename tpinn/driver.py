@@ -443,9 +443,14 @@ class StandardNSDriver:
                 # the f64 polish stage must not inherit their dtype)
                 from tpinn.checkpoint import load_checkpoint
 
-                state = load_checkpoint(ckpt_path)["params"]
+                ckpt = load_checkpoint(ckpt_path)
                 self.model.variables.set(jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(a, self.model.dtype), state))
+                    lambda a: jnp.asarray(a, self.model.dtype),
+                    ckpt["params"]))
+                # tagged optimizer state (LM theta64+mu / dense-BFGS carry):
+                # the matching second round continues exactly instead of
+                # cold-starting from the f32-materialized params
+                pb.resume_opt_state = ckpt.get("opt_state")
             hist_path = os.path.join(resume_from, "History_Loss.json")
             if os.path.exists(hist_path):
                 pb.history = History.load(hist_path)

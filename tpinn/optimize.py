@@ -41,6 +41,12 @@ from tpinn.problem import OptimizationProblem
 def _log_point(pb, eval_fn, params, iter_in_round: int) -> None:
     total, train, test = jax.device_get(eval_fn(params))
     pb.history.append(iter_in_round, float(total), train, test)
+    # publish the in-flight params so the CheckpointCallback (fired below)
+    # snapshots a state CONSISTENT with the history cursor — previously every
+    # round only set pb.variables at round end, so a mid-round crash
+    # checkpoint held round-START params under a history claiming mid-round
+    # progress, and resume silently restarted the round
+    pb.variables.set(params)
     global_iter = pb.history.round_starts[-1] + iter_in_round
     pb.fire_callbacks(global_iter)
 
@@ -52,6 +58,26 @@ def _log_iters(num_epochs: int, stride: int):
     if iters[-1] != num_epochs:
         iters.append(num_epochs)
     return iters
+
+
+def _consume_resume_state(pb, kind: str):
+    """One-shot pickup of a checkpointed optimizer state of the given kind.
+
+    Drivers place ``checkpoint.pkl``'s ``opt_state`` on ``pb.resume_opt_state``
+    when resuming an experiment folder.  Each on-device second-order round
+    tags the state it persists (``{"kind": "lm"|"bfgs_*", ...}``) so a
+    resumed round of the SAME kind can continue exactly — the dense-BFGS
+    inverse Hessian, the LM damping, and crucially the float64 split-carry
+    parameters, whose sub-ulp ``lo`` channel a plain params-only resume
+    rounds away (measured on coronary #005: a 150-iter split-LM round still
+    descending 0.4%/iter at its cap, followed by params-only restarts that
+    re-stalled within ~7 iterations).
+    """
+    st = getattr(pb, "resume_opt_state", None)
+    pb.resume_opt_state = None
+    if isinstance(st, dict) and str(st.get("kind")) == kind:
+        return st
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -523,31 +549,50 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
         return (hi_n, lo_n, f_n, r_n, dr_n, g_n, H_new, first_new), f_n
 
     if residuals is None:
-        step = step_plain
+        step, kind = step_plain, "bfgs_plain"
     elif dtype == jnp.float32:
-        step = step_split
+        step, kind = step_split, "bfgs_split"
     else:
-        step = step_paired
+        step, kind = step_paired, "bfgs_paired"
 
     @functools.partial(jax.jit, static_argnums=1)
     def run_chunk(carry, n_steps):
         return jax.lax.scan(step, carry, None, length=n_steps)
 
-    if residuals is None:
-        f0, g0 = flat_vg(x0)
-        carry = (x0, f0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
-    elif dtype == jnp.float32:
-        lo0 = jnp.zeros_like(x0)
-        r0, dr0, g0 = jax.jit(eval_ch)(x0, lo0)
-        f0 = jnp.dot(r0, r0)
-        carry = (
-            x0, lo0, f0, r0, dr0, g0,
-            jnp.eye(n, dtype=dtype), jnp.array(True),
-        )
-    else:
-        r0, g0 = jax.jit(res_grad)(x0)
-        f0 = jnp.dot(r0, r0)
-        carry = (x0, f0, r0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
+    # exact resume: adopt a checkpointed carry of the same variant whose
+    # parameter channel matches the current params bit-for-bit (the saved
+    # Weights/checkpoint params ARE carry[0]'s materialization, so any
+    # intervening modification — different seed, an Adam round — mismatches
+    # and the carry is discarded)
+    carry = None
+    st = _consume_resume_state(pb, kind)
+    if st is not None:
+        try:
+            saved = tuple(
+                jnp.asarray(leaf) for leaf in st["carry"]
+            )
+            if (saved[0].shape == x0.shape
+                    and saved[0].dtype == dtype
+                    and bool(jnp.array_equal(saved[0], x0))):
+                carry = saved
+        except (KeyError, TypeError):
+            carry = None
+    if carry is None:
+        if residuals is None:
+            f0, g0 = flat_vg(x0)
+            carry = (x0, f0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
+        elif dtype == jnp.float32:
+            lo0 = jnp.zeros_like(x0)
+            r0, dr0, g0 = jax.jit(eval_ch)(x0, lo0)
+            f0 = jnp.dot(r0, r0)
+            carry = (
+                x0, lo0, f0, r0, dr0, g0,
+                jnp.eye(n, dtype=dtype), jnp.array(True),
+            )
+        else:
+            r0, g0 = jax.jit(res_grad)(x0)
+            f0 = jnp.dot(r0, r0)
+            carry = (x0, f0, r0, g0, jnp.eye(n, dtype=dtype), jnp.array(True))
 
     pb.history.start_round("jax_BFGS")
     pb.last_round_name = "jax_BFGS"
@@ -557,7 +602,7 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
     for target in _log_iters(num_epochs, LOG_STRIDE)[1:]:
         carry, _ = run_chunk(carry, target - done)
         done = target
-        pb.last_opt_state = carry
+        pb.last_opt_state = {"kind": kind, "carry": carry}
         _log_point(pb, eval_fn, unravel(carry[0]), done)
     if residuals is not None and dtype == jnp.float32:
         # expose the full two-float carry for diagnostics/tests (the
@@ -753,8 +798,22 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     _log_point(pb, eval_fn, unravel(theta0), 0)
 
     theta64 = np.asarray(theta0, np.float64)
-    f_cur = float(loss_fn(theta0))
     mu = 1e-3  # relative damping: λ = mu·max(w)
+    # exact resume: adopt a checkpointed (theta64, mu) whose f32 rounding is
+    # the params we just loaded — recovers the sub-ulp lo channel that the
+    # materialized f32 weights cannot carry.  mu is clamped below the 1e12
+    # convergence cap so a round saved AT the floor still re-probes once.
+    st = _consume_resume_state(pb, "lm")
+    if st is not None:
+        saved = np.asarray(st["theta64"], np.float64)
+        materialized = (saved.astype(np.float32) if split
+                        else saved.astype(np.float64))
+        if (saved.shape == theta64.shape
+                and np.array_equal(materialized,
+                                   np.asarray(theta0, materialized.dtype))):
+            theta64 = saved
+            mu = min(max(float(st["mu"]), 1e-14), 1e8)
+    f_cur = float(loss_fn(theta0))
     log_targets = set(_log_iters(num_epochs, LOG_STRIDE)[1:])
     converged = False
     for it in range(1, num_epochs + 1):
@@ -782,7 +841,9 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
             if mu > 1e12:  # no damping yields progress: at the floor
                 converged = True
         theta = jnp.asarray(theta64.astype(np.result_type(dtype)))
-        pb.last_opt_state = (theta, mu)
+        pb.last_opt_state = {
+            "kind": "lm", "theta64": theta64.copy(), "mu": float(mu),
+        }
         if verbose:
             print(f"  LM iter {it}: loss {f_cur:.3e}, mu {mu:.1e}, "
                   f"{time.perf_counter() - t_it:.1f}s", flush=True)
