@@ -20,6 +20,12 @@ unreliable in both directions):
 MFU is estimated from XLA's own cost analysis (compiled.cost_analysis()
 flops) against the chip's bf16 peak (v5e ≈ 197 TFLOP/s); for the f32 runs
 this understates achievable peak, so it is a conservative bound.
+``train_mfu_bf16_peak`` reports the DEFAULT train path (the Pallas fused
+kernel when it wins); the Pallas step computes bit-for-bit the same math
+per point as the XLA step, so its model-flops rate is the XLA step's
+per-point cost-analysis count times the Pallas pts/s (cost_analysis cannot
+see inside a pallas_call custom kernel).  ``train_mfu_xla`` keeps the plain
+XLA-path number for continuity with earlier captures.
 
 Prints ONE JSON line; headline metric unchanged across rounds
 (ns_residual_pts_per_sec), extra keys carry the train-step/Pallas numbers:
@@ -381,11 +387,23 @@ def main(argv=None):
 
     dev_kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(dev_kind)
-    mfu = (
+    mfu_xla = (
         round(train_flops_per_sec / peak, 4)
         if (train_flops_per_sec and peak)
         else None
     )
+    # Pallas-path MFU from the same per-point flop model: the fused kernel
+    # computes the identical loss+grad per point, so model-flops/sec =
+    # (XLA flops / points) * pallas pts/s.  cost_analysis cannot count
+    # inside the pallas_call, which is why the XLA step's count is reused.
+    mfu_pallas = (
+        round(train_flops / x.shape[0] * pallas_train_pts / peak, 4)
+        if (train_flops and peak and pallas_train_pts)
+        else None
+    )
+    mfu = mfu_pallas if (
+        mfu_pallas and pallas_train_pts and pallas_train_pts > train_pts
+    ) else mfu_xla
 
     try:
         base_pts_per_sec, _ = bench_torch_reference_style(
@@ -414,6 +432,7 @@ def main(argv=None):
         "train_step_pts_per_sec": round(train_pts, 1),
         "train_step_flops": train_flops,
         "train_mfu_bf16_peak": mfu,
+        "train_mfu_xla": mfu_xla,
         "device_kind": dev_kind,
         "pallas_train_pts_per_sec": (
             round(pallas_train_pts, 1) if pallas_train_pts else None

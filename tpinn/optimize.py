@@ -684,6 +684,14 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     dtype = theta0.dtype
     eval_fn = pb.eval_jit()
 
+    if dtype == jnp.float64 and jax.default_backend() == "tpu":
+        # software-emulated f64 on TPU expands every jvp temp ~8x (the
+        # emulation lowers each f64 op to multi-pass f32); a 256-tangent
+        # jacobian chunk was measured to need 22.6G HBM on v5e (15.75G
+        # available).  32 tangents fits with headroom and the per-chunk
+        # dispatch overhead is amortized by the scan-free host loop.
+        chunk = min(chunk, 32)
+
     # accept/reject needs loss evaluations whose noise is far below the step
     # decrease.  On TPU the default f32 matmul runs through bfloat16 passes,
     # giving ~1e-3 relative evaluation jitter — measured to reject EVERY LM
