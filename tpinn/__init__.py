@@ -22,6 +22,25 @@ XLA into a single jitted train step, and shardable over a TPU device mesh along
 the collocation-point axis (see tpinn.sharding).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: campaign lanes chain many short driver
+# invocations against the same experiment folder (exact optimizer-state
+# resume), and each restart would otherwise re-pay the multi-minute
+# dense-BFGS/LM while_loop compile on a single host core.  Only compiles
+# >2 s are cached (small ones recompile faster than the AOT load logs).
+# The cache is keyed by HLO hash + compile options + backend, so code or
+# shape changes miss cleanly.  Opt out with TPINN_NO_COMPILE_CACHE=1.
+if not _os.environ.get("TPINN_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      ".cache", "jax"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from tpinn import config
 from tpinn.tape import GradientTape
 from tpinn.losses import Loss, LossMeanSquares
