@@ -109,10 +109,8 @@ def main(epochs: int = 5000, out_dir: str = None, second_round: str = "scipy",
 
     pb = ns.OptimizationProblem(model.variables, losses, loss_test)
     ns.minimize(pb, "keras", ns.optimizers.Adam(learning_rate=1e-2), num_epochs=100)
-    if second_round == "scipy":
-        ns.minimize(pb, "scipy", "BFGS", num_epochs=epochs)
-    else:
-        ns.minimize(pb, "jax", "L-BFGS", num_epochs=epochs)
+    # shared routing table (same semantics as the StandardNSDriver cases)
+    ns.driver.run_second_round(pb, second_round, epochs)
 
     os.makedirs(os.path.join(cwd, "Images"), exist_ok=True)
     pb.save_history(os.path.join(cwd, "Images", "Colliding_pressmean_history.json"))
@@ -124,7 +122,7 @@ def main(epochs: int = 5000, out_dir: str = None, second_round: str = "scipy",
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=5000)
-    ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax"])
+    ap.add_argument("--second-round", default="scipy", choices=list(ns.driver.SECOND_ROUND_CHOICES))
     ap.add_argument("--noise", action="store_true")
     args = ap.parse_args()
     main(args.epochs, second_round=args.second_round, use_noise=args.noise)

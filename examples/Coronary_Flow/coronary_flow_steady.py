@@ -227,21 +227,10 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         os.path.join(folder, "checkpoint.pkl"), frequency=100))
     if resume_from is None:
         ns.minimize(pb, "keras", ns.optimizers.Adam(learning_rate=1e-2), num_epochs=100)
-    if second_round == "scipy":
-        ns.minimize(pb, "scipy", "BFGS", num_epochs=opts.epochs)
-    elif second_round == "jax":
-        ns.minimize(pb, "jax", "L-BFGS", num_epochs=opts.epochs)
-    elif second_round in ("jax-bfgs", "bfgs"):
-        ns.minimize(pb, "jax", "BFGS", num_epochs=opts.epochs)
-    elif second_round in ("lm", "jax-lm", "gn"):
-        # Levenberg–Marquardt: epochs = LM iterations (tens suffice)
-        ns.minimize(pb, "jax", "LM", num_epochs=opts.epochs)
-    elif second_round == "adam":
-        import optax
-
-        sched = optax.cosine_decay_schedule(adam_lr, max(opts.epochs, 1),
-                                            alpha=1e-3)
-        ns.minimize(pb, "keras", optax.adam(sched), num_epochs=opts.epochs)
+    # single shared routing table (tpinn.driver.run_second_round): 'scipy'
+    # → resumable on-device dense BFGS, 'scipy-parity' → host scipy round,
+    # unknown names raise instead of silently skipping the round
+    ns.driver.run_second_round(pb, second_round, opts.epochs, adam_lr=adam_lr)
 
     # ----- artifacts
     ns.checkpoint.save_experiment(folder, model, pb.history,
@@ -276,8 +265,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--second-round", default="scipy",
-                    choices=["scipy", "scipy-parity", "jax", "jax-bfgs",
-                             "lm", "adam", "none"],
+                    choices=list(ns.driver.SECOND_ROUND_CHOICES),
                     help="second optimizer round. 'scipy' routes to the"
                          " resumable on-device dense BFGS (host-scipy"
                          " optimizer state cannot be checkpointed, so a"

@@ -32,14 +32,22 @@ import jax as _jax
 # dense-BFGS/LM while_loop compile on a single host core.  Only compiles
 # >2 s are cached (small ones recompile faster than the AOT load logs).
 # The cache is keyed by HLO hash + compile options + backend, so code or
-# shape changes miss cleanly.  Opt out with TPINN_NO_COMPILE_CACHE=1.
+# shape changes miss cleanly.  Opt out with TPINN_NO_COMPILE_CACHE=1;
+# relocate with TPINN_COMPILE_CACHE_DIR (default: a user cache dir, NOT the
+# package location — an installed package would otherwise write into the
+# site-packages parent).  Skipped silently when the dir is not writable.
 if not _os.environ.get("TPINN_NO_COMPILE_CACHE"):
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-                      ".cache", "jax"),
+    _cache_dir = _os.environ.get("TPINN_COMPILE_CACHE_DIR") or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "tpinn", "jax"
     )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _writable = _os.access(_cache_dir, _os.W_OK)
+    except OSError:
+        _writable = False
+    if _writable:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from tpinn import config
 from tpinn.tape import GradientTape

@@ -69,6 +69,59 @@ def _scaled(residual, scale):
     return residual if scale is None else residual * scale
 
 
+SECOND_ROUND_CHOICES = (
+    "scipy", "scipy-parity", "scipy-host", "jax", "jax-bfgs", "bfgs",
+    "lm", "jax-lm", "gn", "adam", "none",
+)
+
+
+def run_second_round(pb, second_round: Optional[str], epochs: int,
+                     scipy_method: str = "BFGS", adam_lr: float = 1e-2):
+    """Single routing table for the second optimizer round, shared by
+    ``StandardNSDriver.train`` and the mesh-case example CLIs (the coronary
+    example's hand-rolled copy silently no-op'd on ``scipy-parity`` and ran
+    the host round for ``scipy`` — the opposite of the documented
+    semantics).  Raises on an unknown name instead of skipping silently.
+
+    * ``scipy``        → resumable ON-DEVICE dense BFGS / L-BFGS.  The host
+      scipy optimizer state cannot be checkpointed (scipy owns it), so a
+      killed 30k-iteration round would resume from params only, losing the
+      Hessian approximation; the on-device carries checkpoint-resume exactly.
+    * ``scipy-parity`` / ``scipy-host`` → the reference's actual host-scipy
+      round (``scipy_*`` history labels).
+    * ``jax``          → on-device L-BFGS.
+    * ``jax-bfgs`` / ``bfgs`` → on-device dense BFGS.
+    * ``lm`` / ``jax-lm`` / ``gn`` → Levenberg–Marquardt (epochs = LM
+      iterations; tens suffice where (L-)BFGS needs 1e4–1e5).
+    * ``adam``         → long cosine-decay Adam round (hybrid stage A).
+    * ``none`` / None  → no second round.
+    """
+    if second_round in ("none", None):
+        return
+    if second_round == "scipy":
+        method = ("BFGS" if scipy_method.upper() == "BFGS" else "L-BFGS")
+        minimize(pb, "jax", method, num_epochs=epochs)
+    elif second_round in ("scipy-parity", "scipy-host"):
+        minimize(pb, "scipy", scipy_method, num_epochs=epochs)
+    elif second_round == "jax":
+        minimize(pb, "jax", "L-BFGS", num_epochs=epochs)
+    elif second_round in ("jax-bfgs", "bfgs"):
+        minimize(pb, "jax", "BFGS", num_epochs=epochs)
+    elif second_round in ("lm", "jax-lm", "gn"):
+        minimize(pb, "jax", "LM", num_epochs=epochs)
+    elif second_round == "adam":
+        import optax
+
+        sched = optax.cosine_decay_schedule(adam_lr, max(epochs, 1),
+                                            alpha=1e-3)
+        minimize(pb, "keras", optax.adam(sched), num_epochs=epochs)
+    else:
+        raise ValueError(
+            f"unknown second_round {second_round!r}; "
+            f"choices: {SECOND_ROUND_CHOICES}"
+        )
+
+
 @dataclasses.dataclass
 class CaseSpec:
     """Declarative description of a rectangular Navier–Stokes PINN case."""
@@ -298,8 +351,15 @@ class StandardNSDriver:
             from tpinn.losses import PrecomputedMeanSquares
             from tpinn.pipeline import FusedNSResidualMSEs, use_fused_pde_losses
 
-            if use_fused_pde_losses(model, spec.unsteady, spec.dim_in,
-                                    self.mesh):
+            # the LM round builds the stacked residual vector from every
+            # training loss (optimize._flat_residual_fn) — the fused Pallas
+            # kernel only exposes the three PDE MSE scalars, so an LM-bound
+            # driver must keep the jet residual path (this is what crashed
+            # lane_tpu18: f64 LM resume on Poiseuille/Cavity hit
+            # PrecomputedMeanSquares and aborted)
+            wants_residuals = self.second_round in ("lm", "jax-lm", "gn")
+            if not wants_residuals and use_fused_pde_losses(
+                    model, spec.unsteady, spec.dim_in, self.mesh):
                 # fused Pallas path: all three PDE MSEs in one kernel call
                 # (fwd + hand-written bwd) — measured 5-11x faster train
                 # step than the XLA jet path on TPU v5e (bench.py); under a
@@ -476,38 +536,9 @@ class StandardNSDriver:
         if resume_from is None:
             minimize(pb, "keras", Adam(learning_rate=self.adam_lr),
                      num_epochs=self.adam_epochs)
-        if self.second_round == "scipy":
-            # Resumable by default (VERDICT r1 item 8): the host-scipy
-            # round's optimizer state cannot be checkpointed — scipy owns it
-            # (minimize('scipy') leaves pb.last_opt_state = None), so a
-            # killed 30k-iteration round would resume from params only,
-            # losing the Hessian approximation.  'scipy' therefore routes to
-            # the on-device dense BFGS / L-BFGS, whose carries
-            # checkpoint-resume exactly.  Pass 'scipy-parity' for the
-            # reference's actual host-scipy round (scipy_* history labels).
-            method = ("BFGS" if self.scipy_method.upper() == "BFGS"
-                      else "L-BFGS")
-            minimize(pb, "jax", method, num_epochs=epochs)
-        elif self.second_round in ("scipy-parity", "scipy-host"):
-            minimize(pb, "scipy", self.scipy_method, num_epochs=epochs)
-        elif self.second_round == "jax":
-            minimize(pb, "jax", "L-BFGS", num_epochs=epochs)
-        elif self.second_round in ("jax-bfgs", "bfgs"):
-            # dense on-device BFGS: scipy-class convergence, no host loop
-            minimize(pb, "jax", "BFGS", num_epochs=epochs)
-        elif self.second_round in ("lm", "jax-lm", "gn"):
-            # Levenberg–Marquardt: tens of iterations where (L-)BFGS needs
-            # 1e4–1e5 — epochs here means LM iterations
-            minimize(pb, "jax", "LM", num_epochs=epochs)
-        elif self.second_round == "adam":
-            # long first-order round (hybrid stage A: float32 TPU): cosine
-            # decay from adam_lr down to adam_lr/1000
-            import optax
-
-            sched = optax.cosine_decay_schedule(
-                self.adam_lr, max(epochs, 1), alpha=1e-3
-            )
-            minimize(pb, "keras", optax.adam(sched), num_epochs=epochs)
+        run_second_round(pb, self.second_round, epochs,
+                         scipy_method=self.scipy_method,
+                         adam_lr=self.adam_lr)
         return pb
 
     # ----------------------------------------------------------------- output

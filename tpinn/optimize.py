@@ -74,8 +74,11 @@ def _consume_resume_state(pb, kind: str):
     re-stalled within ~7 iterations).
     """
     st = getattr(pb, "resume_opt_state", None)
-    pb.resume_opt_state = None
     if isinstance(st, dict) and str(st.get("kind")) == kind:
+        # consume only on a kind match: a tagged state meant for a LATER
+        # round of a different kind (e.g. a BFGS round preceding the LM
+        # round whose state was checkpointed) must survive this call
+        pb.resume_opt_state = None
         return st
     return None
 
@@ -597,6 +600,10 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
     pb.history.start_round("jax_BFGS")
     pb.last_round_name = "jax_BFGS"
     t0 = time.perf_counter()
+    # seed the tagged state before the iter-0 _log_point: its
+    # CheckpointCallback flush must not rewrite checkpoint.pkl with
+    # opt_state=None when a carry was just adopted from a resume
+    pb.last_opt_state = {"kind": kind, "carry": carry}
     _log_point(pb, eval_fn, params, 0)
     done = 0
     for target in _log_iters(num_epochs, LOG_STRIDE)[1:]:
@@ -803,7 +810,6 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     pb.history.start_round("jax_LM")
     pb.last_round_name = "jax_LM"
     t0 = time.perf_counter()
-    _log_point(pb, eval_fn, unravel(theta0), 0)
 
     theta64 = np.asarray(theta0, np.float64)
     mu = 1e-3  # relative damping: λ = mu·max(w)
@@ -811,16 +817,28 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     # the params we just loaded — recovers the sub-ulp lo channel that the
     # materialized f32 weights cannot carry.  mu is clamped below the 1e12
     # convergence cap so a round saved AT the floor still re-probes once.
+    # Adoption happens BEFORE the iteration-0 _log_point and seeds
+    # pb.last_opt_state first: the iter-0 log fires CheckpointCallback, and
+    # a checkpoint.pkl rewritten with opt_state=None there would permanently
+    # lose the f64 carry if the round is killed before the next flush.
     st = _consume_resume_state(pb, "lm")
     if st is not None:
-        saved = np.asarray(st["theta64"], np.float64)
-        materialized = (saved.astype(np.float32) if split
-                        else saved.astype(np.float64))
-        if (saved.shape == theta64.shape
-                and np.array_equal(materialized,
-                                   np.asarray(theta0, materialized.dtype))):
-            theta64 = saved
-            mu = min(max(float(st["mu"]), 1e-14), 1e8)
+        try:
+            saved = np.asarray(st["theta64"], np.float64)
+            materialized = (saved.astype(np.float32) if split
+                            else saved.astype(np.float64))
+            if (saved.shape == theta64.shape
+                    and np.array_equal(materialized,
+                                       np.asarray(theta0,
+                                                  materialized.dtype))):
+                theta64 = saved
+                mu = min(max(float(st["mu"]), 1e-14), 1e8)
+        except (KeyError, TypeError):
+            pass  # malformed/hand-edited checkpoint: cold-start the carry
+    pb.last_opt_state = {
+        "kind": "lm", "theta64": theta64.copy(), "mu": float(mu),
+    }
+    _log_point(pb, eval_fn, unravel(theta0), 0)
     f_cur = float(loss_fn(theta0))
     log_targets = set(_log_iters(num_epochs, LOG_STRIDE)[1:])
     converged = False

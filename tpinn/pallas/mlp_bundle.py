@@ -649,14 +649,18 @@ def mlp_taylor_bundle(
     x,
     dim: int | None = None,
     np_tile: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Fused (value, jac, hdiag) of an MLP parameter list over batch x.
 
     params: list of {"kernel": (in, out), "bias": (out,)} (tpinn.models.MLP).
     x: (N, d_in).  Returns (value (N, d_out), jac (N, d_out, dim),
     hdiag (N, d_out, dim)).  N is padded internally to a tile multiple.
+    interpret=None auto-selects interpret mode off-TPU (same policy as the
+    fused NS-MSE kernel), so TPINN_USE_PALLAS=1 works on the CPU test mesh.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
