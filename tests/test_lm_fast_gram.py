@@ -1,0 +1,123 @@
+"""LM per-point Gram fast path vs the chunked forward-mode Jacobian.
+
+Every PINN residual component depends on exactly one collocation point, so
+JᵀJ/JᵀR can be accumulated from per-point reverse-mode gradients (one tiny
+backward per point) instead of ~P/chunk full-batch jvp sweeps — the change
+that takes the f64-on-TPU LM iteration from ~26 s to seconds
+(RESULTS_TPU.md).  These tests pin that the fast Gram is numerically THE
+SAME normal-equations system, on a real driver-built problem with PDE,
+Dirichlet, Neumann and fit losses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpinn as ns
+from tpinn.config import SimulationOptions
+from tpinn.driver import CaseSpec, StandardNSDriver
+from tpinn.optimize import _collect_point_entries, _flat_residual_fn
+from tpinn.oracles import analytic
+from tpinn.pipeline import NSPhysics
+from tpinn.problem import OptimizationProblem
+
+
+@pytest.fixture(scope="module")
+def lm_driver():
+    prm = analytic.PoiseuilleParams()
+    spec = CaseSpec(
+        name="Poiseuille_Gram",
+        extents=[(0.0, 1.0), (0.0, 0.1)],
+        grid_shape=(12, 8),
+        physics=NSPhysics(conv=prm.rho, visc=prm.mu),
+        exact=(
+            lambda x: analytic.poiseuille_u(x, prm),
+            lambda x: analytic.poiseuille_v(x, prm),
+            lambda x: analytic.poiseuille_p(x, prm),
+        ),
+        bnd_val={
+            0: {"BOT": 0.0, "TOP": 0.0,
+                "SX": lambda x: analytic.poiseuille_u(x, prm),
+                "DX": prm.p_out},
+            1: {"BOT": 0.0, "TOP": 0.0, "SX": 0.0, "DX": 0.0},
+        },
+        neumann={("DX", 0): 0, ("DX", 1): 0},
+    )
+    opts = SimulationOptions(epochs=2, n_pde=30, n_bc=8, n_vel=4, n_pres=0,
+                             n_test=20)
+    return StandardNSDriver(spec, opts, base_dir=".", save_results=False,
+                            seed=0, second_round="lm")
+
+
+def test_driver_losses_expose_point_residuals(lm_driver):
+    missing = [l.name for l in lm_driver.losses
+               if getattr(l, "point_residual", None) is None]
+    assert not missing, f"losses without point_residual: {missing}"
+
+
+def test_fast_gram_matches_dense_jacobian(lm_driver):
+    pb = OptimizationProblem(
+        lm_driver.model.variables, lm_driver.losses, [], callbacks=[]
+    )
+    theta0, unravel, residuals = _flat_residual_fn(pb)
+    res_jit = jax.jit(residuals)
+    entries = _collect_point_entries(pb, unravel, res_jit, theta0)
+    assert entries is not None
+
+    # reference: dense J of the stacked residual closure
+    J = np.asarray(jax.jacfwd(residuals)(theta0))
+    r = np.asarray(res_jit(theta0))
+    JTJ_ref = J.T @ J
+    JTr_ref = J.T @ r
+
+    # fast path: per-point Gram accumulation (same formula as optimize.py)
+    n_par = theta0.shape[0]
+    JTJ = np.zeros((n_par, n_par))
+    JTr = np.zeros(n_par)
+    for fn, args, scale in entries:
+        def res_one(th, *rows, _fn=fn, _s=scale):
+            return _fn(unravel(th), *rows) * _s
+
+        in_axes = (None,) + (0,) * len(args)
+        G = np.asarray(jax.vmap(jax.grad(res_one), in_axes=in_axes)(
+            theta0, *args))
+        rl = np.asarray(jax.vmap(res_one, in_axes=in_axes)(theta0, *args))
+        JTJ += G.T @ G
+        JTr += G.T @ rl
+
+    scale_J = np.abs(JTJ_ref).max()
+    np.testing.assert_allclose(JTJ, JTJ_ref, rtol=1e-9,
+                               atol=1e-12 * scale_J)
+    np.testing.assert_allclose(JTr, JTr_ref, rtol=1e-9,
+                               atol=1e-12 * np.abs(JTr_ref).max())
+
+
+def test_lm_round_descends_with_fast_gram(lm_driver):
+    pb = OptimizationProblem(
+        lm_driver.model.variables, lm_driver.losses, [], callbacks=[]
+    )
+    ns.minimize(pb, "jax", "LM", num_epochs=4)
+    assert pb.history.round_names == ["jax_LM"]
+    assert pb.history.loss_global[-1] < pb.history.loss_global[0]
+
+
+def test_miswired_point_residual_falls_back(lm_driver, capsys):
+    """A point_residual that disagrees with the batch closure must be
+    rejected by the theta0 validation, not silently optimized."""
+    losses = list(lm_driver.losses)
+    bad = losses[0]
+    fn, args = bad.point_residual
+    bad_args = (args[0] + 0.01,) + args[1:]  # wrong collocation points
+    bad.point_residual = (fn, bad_args)
+    try:
+        pb = OptimizationProblem(
+            lm_driver.model.variables, losses, [], callbacks=[]
+        )
+        theta0, unravel, residuals = _flat_residual_fn(pb)
+        entries = _collect_point_entries(pb, unravel, jax.jit(residuals),
+                                         theta0)
+        assert entries is None
+        assert "falling back" in capsys.readouterr().out
+    finally:
+        bad.point_residual = (fn, args)

@@ -376,14 +376,42 @@ class StandardNSDriver:
                                            weight=spec.weight("PDE_MOMV", 1e0)),
                 ]
             else:
+                # point_residual: per-point structure for the LM fast Gram
+                # (single-device only — sharded batches carry exact-mean
+                # padding the per-point protocol does not model)
+                if self.mesh is None:
+                    from tpinn.pipeline import pde_point_residuals
+
+                    p_mass, p_momu, p_momv = pde_point_residuals(
+                        model, spec.physics, norm, spec.unsteady)
+                    pde_pr = [(p_mass, (x_pde,)), (p_momu, (x_pde,)),
+                              (p_momv, (x_pde,))]
+                else:
+                    pde_pr = [None, None, None]
                 losses += [
                     LMS("PDE_MASS", lambda: mass_residual(pde_bundle, norm),
-                        weight=spec.weight("PDE_MASS", 1e1)),
+                        weight=spec.weight("PDE_MASS", 1e1),
+                        point_residual=pde_pr[0]),
                     LMS("PDE_MOMU", lambda: momentum_residual(pde_bundle, 0, spec.physics, norm),
-                        weight=spec.weight("PDE_MOMU", 1e0)),
+                        weight=spec.weight("PDE_MOMU", 1e0),
+                        point_residual=pde_pr[1]),
                     LMS("PDE_MOMV", lambda: momentum_residual(pde_bundle, 1, spec.physics, norm),
-                        weight=spec.weight("PDE_MOMV", 1e0)),
+                        weight=spec.weight("PDE_MOMV", 1e0),
+                        point_residual=pde_pr[2]),
                 ]
+
+        from tpinn.pipeline import (
+            dirichlet_point_residual,
+            neumann_point_residual,
+        )
+
+        def _dir_pr(comp, x, rhs, scale):
+            """point_residual for a Dirichlet-style loss (None when the
+            batch is mask-padded under a mesh — exactness first)."""
+            if self.mesh is not None or scale is not None:
+                return None
+            r = jnp.broadcast_to(jnp.asarray(rhs, x.dtype), (x.shape[0],))
+            return (dirichlet_point_residual(model, comp), (x, r))
 
         if opts.use_boundary:
             edge_tags = {"SX": "x0", "DX": "x1", "BOT": "y0", "TOP": "y1"}
@@ -397,11 +425,21 @@ class StandardNSDriver:
                         bundle = ResidualBundle(
                             model, xb, unsteady=spec.unsteady,
                         )
+                        if self.mesh is None and sb is None:
+                            pr = (neumann_point_residual(
+                                      model, comp, direction, spec.physics,
+                                      norm, spec.unsteady),
+                                  (xb, jnp.broadcast_to(
+                                      jnp.asarray(rb, xb.dtype),
+                                      (xb.shape[0],))))
+                        else:
+                            pr = None
                         losses.append(
                             LMS(f"BCN_{tag}",
                                 (lambda b=bundle, c=comp, d=direction, r=rb, s=sb:
                                  _scaled(neumann_residual(b, c, d, spec.physics, norm, rhs=r), s)),
-                                weight=spec.weight("BCN", 1e0))
+                                weight=spec.weight("BCN", 1e0),
+                                point_residual=pr)
                         )
                     else:
                         xb, rb, sb = self._shard_pair(self.bnd_pts[edge], rhs)
@@ -409,7 +447,8 @@ class StandardNSDriver:
                             LMS(f"BCD_{tag}",
                                 (lambda x=xb, c=comp, r=rb, s=sb:
                                  _scaled(dirichlet_residual(model, x, c, r), s)),
-                                weight=spec.weight("BCD", 1e0))
+                                weight=spec.weight("BCD", 1e0),
+                                point_residual=_dir_pr(comp, xb, rb, sb))
                         )
 
         if spec.unsteady and opts.use_initialc and self.ic_pts is not None:
@@ -419,7 +458,8 @@ class StandardNSDriver:
                     LMS(cname,
                         lambda c=comp: _scaled(
                             dirichlet_residual(model, xi, c, 0.0), si),
-                        weight=spec.weight("IC", 1e0))
+                        weight=spec.weight("IC", 1e0),
+                        point_residual=_dir_pr(comp, xi, 0.0, si))
                 )
 
         x_vel, fit_u, fit_v, s_vel = self._shard_pair(
@@ -430,10 +470,12 @@ class StandardNSDriver:
             losses += [
                 LMS("Fit_u", lambda: _scaled(
                     dirichlet_residual(model, x_vel, 0, fit_u), s_vel),
-                    weight=spec.weight("FIT", 1e0)),
+                    weight=spec.weight("FIT", 1e0),
+                    point_residual=_dir_pr(0, x_vel, fit_u, s_vel)),
                 LMS("Fit_v", lambda: _scaled(
                     dirichlet_residual(model, x_vel, 1, fit_v), s_vel),
-                    weight=spec.weight("FIT", 1e0)),
+                    weight=spec.weight("FIT", 1e0),
+                    point_residual=_dir_pr(1, x_vel, fit_v, s_vel)),
             ]
         x_pres = jnp.take(self.dom_grid, jnp.asarray(self.idx_set["Pres"]), axis=0)
         if spec.pressure_gauge == "fit" and opts.fit_pressure:
@@ -441,7 +483,8 @@ class StandardNSDriver:
             losses.append(
                 LMS("Fit_p", lambda: _scaled(
                     dirichlet_residual(model, xp, 2, fit_p), s_p),
-                    weight=spec.weight("FIT", 1e0))
+                    weight=spec.weight("FIT", 1e0),
+                    point_residual=_dir_pr(2, xp, fit_p, s_p))
             )
         elif spec.pressure_gauge == "mean":
             gauge_pts = x_pres if len(self.idx_set["Pres"]) else x_pde

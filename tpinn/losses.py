@@ -62,7 +62,19 @@ class Loss:
 
 
 class LossMeanSquares(Loss):
-    """Mean-of-squares residual loss: raw = mean((fn()/normalization)^2)."""
+    """Mean-of-squares residual loss: raw = mean((fn()/normalization)^2).
+
+    ``point_residual`` (optional) exposes the pointwise structure of the
+    residual for the Gauss–Newton/LM optimizer: a pair ``(point_fn, args)``
+    where each element of ``args`` is an array with leading axis N (one row
+    per residual component) and ``point_fn(params, *args_i) -> scalar``
+    computes residual component i from EXPLICIT parameters.  It must satisfy
+    ``vmap(point_fn, (None, 0, ...))(params, *args) == fn()`` under the same
+    bound params.  When every training loss carries it, the LM round builds
+    JᵀJ/JᵀR from per-point reverse-mode gradients — one tiny backward per
+    point — instead of ~P/chunk full-batch forward-mode passes (the
+    dominant cost of the f64-on-TPU campaign at 26 s/iter, RESULTS_TPU.md).
+    """
 
     display_sqrt = True
 
@@ -72,10 +84,12 @@ class LossMeanSquares(Loss):
         fn: Callable[[], object],
         weight: float = 1.0,
         normalization: float = 1.0,
+        point_residual=None,
     ):
         super().__init__(
             name, fn, weight=weight, normalization=normalization, non_negative=True
         )
+        self.point_residual = point_residual
 
     def raw_value(self):
         r = as_value(self.fn())

@@ -663,6 +663,50 @@ def _flat_residual_fn(pb):
     return theta0, unravel, residuals
 
 
+def _collect_point_entries(pb, unravel, res_jit, theta0):
+    """Per-point residual entries [(fn, args, scale)] for the LM fast Gram.
+
+    Requires EVERY training loss to expose ``point_residual`` (see
+    tpinn.losses.LossMeanSquares); the stacked per-point evaluation is
+    validated against the batch closures at theta0 so a mis-wired
+    ``point_residual`` (wrong rhs/noise arrays, stale points) degrades to
+    the chunked-jvp path instead of silently optimizing a different
+    objective.  Returns None when unavailable or validation fails.
+    """
+    entries = []
+    for loss in pb.losses:
+        pr = getattr(loss, "point_residual", None)
+        if pr is None:
+            return None
+        fn, args = pr
+        args = tuple(jnp.asarray(a) for a in args)
+        n_rows = int(args[0].shape[0])
+        scale = float(np.sqrt(loss.weight / n_rows) / loss.normalization)
+        entries.append((fn, args, scale))
+
+    parts = []
+    params0 = unravel(theta0)
+    for fn, args, scale in entries:
+        in_axes = (None,) + (0,) * len(args)
+        r_l = jax.jit(jax.vmap(fn, in_axes=in_axes))(params0, *args)
+        parts.append(np.asarray(r_l).reshape(-1) * scale)
+    r_pts = np.concatenate(parts)
+    r_batch = np.asarray(res_jit(theta0))
+    if r_pts.shape != r_batch.shape:
+        print(f"  LM: point_residual stack shape {r_pts.shape} != batch "
+              f"{r_batch.shape}; falling back to chunked jacobian",
+              flush=True)
+        return None
+    atol = 1e-5 * float(np.max(np.abs(r_batch)) + 1e-30)
+    if not np.allclose(r_pts, r_batch, rtol=1e-4, atol=atol):
+        worst = float(np.max(np.abs(r_pts - r_batch)))
+        print(f"  LM: point_residual stack deviates from batch closures "
+              f"(max |Δ| {worst:.3e}); falling back to chunked jacobian",
+              flush=True)
+        return None
+    return entries
+
+
 def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
                      verbose: bool = False):
     """Levenberg–Marquardt: damped Gauss–Newton on the stacked residuals.
@@ -790,7 +834,7 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
 
     gram_split = _hp(lambda Jt, r, dr: (Jt @ Jt.T, Jt @ r, Jt @ dr))
 
-    def normal_eqs(theta64):
+    def _normal_eqs_chunked(theta64):
         """residuals (device), JᵀJ (host), JᵀR (host, f64) — chunked."""
         rv = _eval_res(theta64)
         theta_dev = jnp.asarray(theta64.astype(np.result_type(dtype)))
@@ -806,6 +850,45 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
             JTJ, JTr_r, JTr_d = gram_split(Jt, rv[0], rv[1])
             JTr = np.asarray(JTr_r, np.float64) + np.asarray(JTr_d, np.float64)
         return rv, np.asarray(JTJ), JTr
+
+    # ---- per-point Gram fast path -------------------------------------
+    # Residual component i depends on collocation point i ONLY, so J's rows
+    # are per-point parameter gradients: vmap-of-grad over the point axis
+    # costs ~3 batch forwards TOTAL, vs the chunked forward-mode sweep's
+    # ~P/chunk full-batch jvp passes (the 26 s/iter bottleneck of the
+    # f64-on-TPU campaign — RESULTS_TPU.md).  Available when every training
+    # loss exposes LossMeanSquares.point_residual (driver-built cases);
+    # verified against the batch closures at theta0 before being trusted.
+    point_entries = (None if split
+                     else _collect_point_entries(pb, unravel, res_jit, theta0))
+
+    if point_entries is not None:
+        def gram_fast_fn(theta):
+            JTJ = jnp.zeros((n_par, n_par), theta.dtype)
+            JTr = jnp.zeros((n_par,), theta.dtype)
+            for fn, args, scale in point_entries:
+                def res_one(th, *rows, _fn=fn, _s=scale):
+                    return _fn(unravel(th), *rows) * _s
+
+                in_axes = (None,) + (0,) * len(args)
+                G = jax.vmap(jax.grad(res_one), in_axes=in_axes)(
+                    theta, *args
+                )  # (N_l, P): row i = ∇_θ of scaled residual component i
+                r = jax.vmap(res_one, in_axes=in_axes)(theta, *args)
+                JTJ = JTJ + G.T @ G
+                JTr = JTr + G.T @ r
+            return JTJ, JTr
+
+        gram_fast = _hp(gram_fast_fn)
+
+        def normal_eqs(theta64):
+            rv = _eval_res(theta64)
+            JTJ, JTr = gram_fast(
+                jnp.asarray(theta64.astype(np.result_type(dtype)))
+            )
+            return rv, np.asarray(JTJ), np.asarray(JTr, np.float64)
+    else:
+        normal_eqs = _normal_eqs_chunked
 
     pb.history.start_round("jax_LM")
     pb.last_round_name = "jax_LM"

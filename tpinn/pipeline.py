@@ -193,22 +193,13 @@ def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
     return jax.default_backend() == "tpu"
 
 
-def mass_residual(bundle: ResidualBundle, norm: Normalization):
-    """∇·U (physical units are irrelevant: scaled by norm_vel uniformly)."""
-    _, jac, _ = bundle.compute()
-    cx, cy = bundle.spatial_cols
+def _mass_rows(jac, cols):
+    cx, cy = cols
     return jac[:, 0, cx] + jac[:, 1, cy]
 
 
-def momentum_residual(
-    bundle: ResidualBundle,
-    k: int,
-    physics: NSPhysics,
-    norm: Normalization,
-):
-    """r_k as in the module docstring, spread-rescaled."""
-    value, jac, hdiag = bundle.compute()
-    cx, cy = bundle.spatial_cols
+def _momentum_rows(value, jac, hdiag, cols, k, physics, norm):
+    cx, cy = cols
     nv, npre = norm.norm_vel, norm.norm_pre
 
     U = nv * value[:, 0]
@@ -228,6 +219,40 @@ def momentum_residual(
     return r * norm.residual_scale
 
 
+def _neumann_rows(value, jac, cols, k, direction, physics, norm, rhs):
+    cx, cy = cols
+    nv, npre = norm.norm_vel, norm.norm_pre
+    P = npre * value[:, 2]
+    gx = nv * jac[:, k, cx]
+    gy = nv * jac[:, k, cy]
+    if isinstance(direction, int):
+        grad_n = (gx, gy)[direction]
+        p_term = P * (1.0 if direction == k else 0.0)
+    else:
+        n = jnp.asarray(direction)
+        grad_n = gx * n[0] + gy * n[1]
+        p_term = P * n[k]
+    return (physics.visc * grad_n - p_term - rhs) * norm.residual_scale
+
+
+def mass_residual(bundle: ResidualBundle, norm: Normalization):
+    """∇·U (physical units are irrelevant: scaled by norm_vel uniformly)."""
+    _, jac, _ = bundle.compute()
+    return _mass_rows(jac, bundle.spatial_cols)
+
+
+def momentum_residual(
+    bundle: ResidualBundle,
+    k: int,
+    physics: NSPhysics,
+    norm: Normalization,
+):
+    """r_k as in the module docstring, spread-rescaled."""
+    value, jac, hdiag = bundle.compute()
+    return _momentum_rows(value, jac, hdiag, bundle.spatial_cols, k,
+                          physics, norm)
+
+
 def neumann_residual(
     bundle: ResidualBundle,
     k: int,
@@ -245,19 +270,8 @@ def neumann_residual(
     and we keep that contract).
     """
     value, jac, _ = bundle.compute()
-    cx, cy = bundle.spatial_cols
-    nv, npre = norm.norm_vel, norm.norm_pre
-    P = npre * value[:, 2]
-    gx = nv * jac[:, k, cx]
-    gy = nv * jac[:, k, cy]
-    if isinstance(direction, int):
-        grad_n = (gx, gy)[direction]
-        p_term = P * (1.0 if direction == k else 0.0)
-    else:
-        n = jnp.asarray(direction)
-        grad_n = gx * n[0] + gy * n[1]
-        p_term = P * n[k]
-    return (physics.visc * grad_n - p_term - rhs) * norm.residual_scale
+    return _neumann_rows(value, jac, bundle.spatial_cols, k, direction,
+                         physics, norm, rhs)
 
 
 def dirichlet_residual(model: Model, points, component: int, rhs):
@@ -279,3 +293,77 @@ def pressure_mean_penalty(model: Model, points):
     out = model(points)
     val = out.value if hasattr(out, "value") else out
     return jnp.abs(jnp.mean(val[:, 2]))
+
+
+# ---------------------------------------------------------------------------
+# Per-point residual builders (LossMeanSquares.point_residual protocol)
+# ---------------------------------------------------------------------------
+#
+# Every PINN residual component depends on exactly ONE collocation point, so
+# the LM/Gauss–Newton Jacobian can be built as vmap-over-points of a
+# single-point reverse pass (cost ≈ 3 batch forwards) instead of ~P/chunk
+# full-batch forward-mode sweeps (the 26 s/iter bottleneck of the
+# f64-on-TPU campaign, RESULTS_TPU.md).  Each builder returns
+# fn(params, *row_args) -> scalar with EXPLICIT params; the row formulas are
+# shared with the batch closures above (evaluated on a 1-row batch).
+
+
+def _tri_fn(model: Model, dim_in: int):
+    """(params, x) -> (value, jac, hdiag) with explicit params (any batch)."""
+    if (type(model).apply_single is Model.apply_single
+            and model.activation_name == "tanh"):
+        from tpinn.operators import mlp_taylor_batched
+
+        return lambda params, x: mlp_taylor_batched(params, x, dim_in)
+
+    def tri(params, x):
+        f = lambda xi: model.apply_single(params, xi)
+        return jax.vmap(taylor_bundle(f, dim_in))(x)
+
+    return tri
+
+
+def pde_point_residuals(model: Model, physics: NSPhysics,
+                        norm: Normalization, unsteady: bool = False):
+    """(mass_fn, momu_fn, momv_fn), each fn(params, xi) -> scalar."""
+    cols = (1, 2) if unsteady else (0, 1)
+    dim_in = 3 if unsteady else 2
+    tri = _tri_fn(model, dim_in)
+
+    def mass_fn(params, xi):
+        _, jac, _ = tri(params, xi[None, :])
+        return _mass_rows(jac, cols)[0]
+
+    def mom_fn(k):
+        def fn(params, xi):
+            value, jac, hdiag = tri(params, xi[None, :])
+            return _momentum_rows(value, jac, hdiag, cols, k, physics,
+                                  norm)[0]
+        return fn
+
+    return mass_fn, mom_fn(0), mom_fn(1)
+
+
+def neumann_point_residual(model: Model, k: int, direction,
+                           physics: NSPhysics, norm: Normalization,
+                           unsteady: bool = False):
+    """fn(params, xi, rhs_i) -> scalar traction residual at one point."""
+    cols = (1, 2) if unsteady else (0, 1)
+    dim_in = 3 if unsteady else 2
+    tri = _tri_fn(model, dim_in)
+
+    def fn(params, xi, rhs_i):
+        value, jac, _ = tri(params, xi[None, :])
+        return _neumann_rows(value, jac, cols, k, direction, physics, norm,
+                             rhs_i)[0]
+
+    return fn
+
+
+def dirichlet_point_residual(model: Model, component: int):
+    """fn(params, xi, rhs_i) -> scalar u_k(xi) − rhs_i (BC / fit / IC)."""
+
+    def fn(params, xi, rhs_i):
+        return model.apply(params, xi[None, :])[0, component] - rhs_i
+
+    return fn
