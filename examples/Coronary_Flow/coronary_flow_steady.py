@@ -57,20 +57,34 @@ LOSS_GROUPS = {
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_MSH = os.path.join(HERE, "coroParam.msh")
-REFERENCE_MSH = "/root/reference/Examples/Coronary_Flow/coroParam.msh"
 
 
 def _asset_paths(cwd):
     msh = os.path.join(cwd, "coroParam.msh")
     bpts = os.path.join(cwd, "bpoints.npy")
-    if not os.path.exists(msh) and os.path.exists(REFERENCE_MSH):
-        shutil.copy(REFERENCE_MSH, msh)
+    if not os.path.exists(msh):
+        if os.path.exists(DEFAULT_MSH):
+            shutil.copy(DEFAULT_MSH, msh)
+        else:
+            # no mesh shipped: REGENERATE it from the parametric stenosis
+            # geometry (tpinn.oracles.coro_param re-implements
+            # coroParam.geo's sten1/sten2 Bézier loop + a DistMesh-style
+            # mesher — no gmsh, no reference-checkout fallback)
+            from tpinn.oracles.coro_param import generate_coro_msh
+
+            print("coroParam.msh not found — regenerating from the "
+                  "parametric geometry (takes ~20 min at full density)")
+            generate_coro_msh(msh)
     if not os.path.exists(bpts):
         # derive labeled boundary points from the mesh itself (parity with
-        # the reference file is pinned by tests/test_reference_parity.py)
+        # the reference file is pinned by tests/test_reference_parity.py).
+        # A regenerated mesh places boundary nodes on the exact geometry
+        # but through linear interpolation arithmetic — the predicate
+        # tolerance is loosened accordingly (committed-mesh nodes sit at
+        # machine precision, so the loose tol is equivalent there).
         from tpinn.oracles.coronary import generate_bpoints
 
-        np.save(bpts, generate_bpoints(msh))
+        np.save(bpts, generate_bpoints(msh, tol=1e-9))
     return msh, bpts
 
 
