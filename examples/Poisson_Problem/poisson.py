@@ -63,9 +63,24 @@ def main(epochs: int = 500, save_plots: bool = True, out_dir: str = None,
             laplacian = operator.laplacian_scalar(tape, u, x_PDE, dim)
         return -laplacian - f
 
+    # per-point residuals: enable the LM round's fast Gram (see
+    # tpinn.optimize._minimize_jax_lm / LossMeanSquares.point_residual)
+    from tpinn.pipeline import taylor_tri_fn
+
+    tri = taylor_tri_fn(model, dim)
+
+    def pde_pt(params, xi, f_i):
+        _, _, hdiag = tri(params, xi[None, :])
+        return -(hdiag[0, 0, 0] + hdiag[0, 0, 1]) - f_i
+
+    def bc_pt(params, xi):
+        return model.apply(params, xi[None, :])[0, 0]
+
     losses = [
-        ns.LossMeanSquares("PDE", PDE, weight=2.0),
-        ns.LossMeanSquares("BC", lambda: model(x_BC)),
+        ns.LossMeanSquares("PDE", PDE, weight=2.0,
+                           point_residual=(pde_pt, (x_PDE, f))),
+        ns.LossMeanSquares("BC", lambda: model(x_BC),
+                           point_residual=(bc_pt, (x_BC,))),
     ]
     loss_test = ns.LossMeanSquares("fit", lambda: model(x_test) - u_test)
 

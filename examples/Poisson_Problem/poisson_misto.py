@@ -72,10 +72,30 @@ def main(epochs: int = 7500, save_plots: bool = True, out_dir: str = None,
             du = operator.gradient_scalar(tape, u, x_BC_N)
         return du[:, 0] - g_N
 
+    # per-point residuals: enable the LM round's fast Gram (see
+    # tpinn.optimize._minimize_jax_lm / LossMeanSquares.point_residual)
+    from tpinn.pipeline import taylor_tri_fn
+
+    tri = taylor_tri_fn(model, dim)
+
+    def pde_pt(params, xi, f_i):
+        _, _, hdiag = tri(params, xi[None, :])
+        return -(hdiag[0, 0, 0] + hdiag[0, 0, 1]) - f_i
+
+    def bcd_pt(params, xi):
+        return model.apply(params, xi[None, :])[0, 0]
+
+    def bcn_pt(params, xi, g_i):
+        _, jac, _ = tri(params, xi[None, :])
+        return jac[0, 0, 0] - g_i
+
     losses = [
-        ns.LossMeanSquares("PDE", PDE, weight=1e2),
-        ns.LossMeanSquares("BC_D", lambda: model(x_BC_D)),
-        ns.LossMeanSquares("BC_N", BC_N),
+        ns.LossMeanSquares("PDE", PDE, weight=1e2,
+                           point_residual=(pde_pt, (x_PDE, f))),
+        ns.LossMeanSquares("BC_D", lambda: model(x_BC_D),
+                           point_residual=(bcd_pt, (x_BC_D,))),
+        ns.LossMeanSquares("BC_N", BC_N,
+                           point_residual=(bcn_pt, (x_BC_N, g_N))),
     ]
     loss_test = ns.LossMeanSquares("fit", lambda: model(x_test) - u_test)
 

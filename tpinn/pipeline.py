@@ -308,8 +308,11 @@ def pressure_mean_penalty(model: Model, points):
 # shared with the batch closures above (evaluated on a 1-row batch).
 
 
-def _tri_fn(model: Model, dim_in: int):
-    """(params, x) -> (value, jac, hdiag) with explicit params (any batch)."""
+def taylor_tri_fn(model: Model, dim_in: int):
+    """(params, x) -> (value, jac, hdiag) with explicit params (any batch).
+
+    The building block for custom ``point_residual`` functions (e.g. the
+    Poisson examples' −Δu − f): call on a 1-row batch and index [0]."""
     if (type(model).apply_single is Model.apply_single
             and model.activation_name == "tanh"):
         from tpinn.operators import mlp_taylor_batched
@@ -328,7 +331,7 @@ def pde_point_residuals(model: Model, physics: NSPhysics,
     """(mass_fn, momu_fn, momv_fn), each fn(params, xi) -> scalar."""
     cols = (1, 2) if unsteady else (0, 1)
     dim_in = 3 if unsteady else 2
-    tri = _tri_fn(model, dim_in)
+    tri = taylor_tri_fn(model, dim_in)
 
     def mass_fn(params, xi):
         _, jac, _ = tri(params, xi[None, :])
@@ -350,7 +353,7 @@ def neumann_point_residual(model: Model, k: int, direction,
     """fn(params, xi, rhs_i) -> scalar traction residual at one point."""
     cols = (1, 2) if unsteady else (0, 1)
     dim_in = 3 if unsteady else 2
-    tri = _tri_fn(model, dim_in)
+    tri = taylor_tri_fn(model, dim_in)
 
     def fn(params, xi, rhs_i):
         value, jac, _ = tri(params, xi[None, :])
