@@ -136,3 +136,78 @@ def test_checkpoint_callback_snapshots_inflight_params(tmp_path):
         )
         assert not np.array_equal(flat, start)
         np.testing.assert_array_equal(flat, cur)
+
+
+class _OptStateRecorder:
+    """Snapshots pb.last_opt_state at every callback fire."""
+
+    def __init__(self):
+        self.snaps = []
+
+    def __call__(self, pb, iteration, force=False):
+        st = pb.last_opt_state
+        self.snaps.append((iteration, None if st is None else dict(st)))
+
+
+def test_iter0_flush_does_not_clobber_adopted_state(tmp_path):
+    """ADVICE r2 (medium): on resume, the iteration-0 log point fires the
+    CheckpointCallback — pb.last_opt_state must already hold the ADOPTED
+    tagged state there, not None, or a kill before the next flush
+    permanently loses the f64 carry (pre-fix: checkpoint.pkl rewritten with
+    opt_state=None at iter 0).  Checked for both LM and dense BFGS."""
+    with _f32_config():
+        model, pb, _ = _lattice_problem()
+        ns.minimize(pb, "jax", "LM", num_epochs=3, chunk=4)
+        theta_saved = np.asarray(pb.last_opt_state["theta64"])
+
+        model2, pb2 = _restart(tmp_path, model, pb)
+        rec = _OptStateRecorder()
+        pb2.callbacks.append(rec)
+        ns.minimize(pb2, "jax", "LM", num_epochs=1, chunk=4)
+        it0, st0 = rec.snaps[0]
+        assert st0 is not None, "iter-0 callback saw opt_state=None"
+        assert str(st0["kind"]) == "lm"
+        np.testing.assert_array_equal(np.asarray(st0["theta64"]),
+                                      theta_saved)
+
+        # dense BFGS: same contract for the two-float carry
+        model3, pb3, _ = _lattice_problem()
+        ns.minimize(pb3, "jax", "BFGS", num_epochs=5)
+        model4, pb4 = _restart(tmp_path, model3, pb3)
+        rec4 = _OptStateRecorder()
+        pb4.callbacks.append(rec4)
+        ns.minimize(pb4, "jax", "BFGS", num_epochs=1)
+        it0, st0 = rec4.snaps[0]
+        assert st0 is not None and str(st0["kind"]) == "bfgs_split"
+
+
+def test_kind_mismatch_preserves_resume_state_for_later_round():
+    """ADVICE r2 (low): a tagged state meant for a LATER round of a
+    different kind must survive an earlier round's _consume_resume_state
+    call instead of being silently dropped."""
+    with _f32_config():
+        model, pb, _ = _lattice_problem()
+        ns.minimize(pb, "jax", "LM", num_epochs=3, chunk=4)
+        lm_state = jax.tree_util.tree_map(np.asarray, pb.last_opt_state)
+        theta_saved = np.asarray(lm_state["theta64"])
+
+        model2, pb2, _ = _lattice_problem()
+        model2.variables.set(jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a.astype(np.float32))
+            if a.dtype == np.float64 else jnp.asarray(a),
+            model.variables.get()))
+        pb2.resume_opt_state = lm_state
+        # a BFGS round runs FIRST: it must not consume the lm-tagged state
+        ns.minimize(pb2, "jax", "BFGS", num_epochs=1)
+        assert pb2.resume_opt_state is not None, (
+            "BFGS round consumed an lm-tagged resume state")
+
+
+def test_malformed_lm_checkpoint_cold_starts():
+    """ADVICE r2 (low): a malformed lm-tagged state (hand-edited / None
+    fields) must cold-start the round, not raise."""
+    with _f32_config():
+        model, pb, _ = _lattice_problem()
+        pb.resume_opt_state = {"kind": "lm", "theta64": None, "mu": 1e-3}
+        ns.minimize(pb, "jax", "LM", num_epochs=3, chunk=4)
+        assert pb.history.loss_global[-1] < pb.history.loss_global[0]

@@ -578,7 +578,7 @@ def _minimize_jax_bfgs(pb, num_epochs: int):
                     and saved[0].dtype == dtype
                     and bool(jnp.array_equal(saved[0], x0))):
                 carry = saved
-        except (KeyError, TypeError):
+        except (KeyError, TypeError, ValueError):
             carry = None
     if carry is None:
         if residuals is None:
@@ -916,7 +916,7 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
                                                   materialized.dtype))):
                 theta64 = saved
                 mu = min(max(float(st["mu"]), 1e-14), 1e8)
-        except (KeyError, TypeError):
+        except (KeyError, TypeError, ValueError):
             pass  # malformed/hand-edited checkpoint: cold-start the carry
     pb.last_opt_state = {
         "kind": "lm", "theta64": theta64.copy(), "mu": float(mu),
