@@ -203,3 +203,88 @@ def test_ns_residual_mse_high_precision_chunk_cap():
     np.testing.assert_allclose(
         np.asarray(hp_g), np.asarray(ref_g), rtol=1e-9, atol=1e-12
     )
+
+
+@pytest.mark.slow
+def test_one_pass_weighted_obj_matches_xla():
+    """ns_residual_weighted_obj (ONE kernel: loss + log MSEs + grads) must
+    reproduce the XLA jet path's value_and_grad to f64 precision, and its
+    FusedNSWeightedObjective loss closures must log the exact raw MSEs
+    while the weighted sum's gradient equals the true gradient."""
+    from tpinn.geometry import Normalization
+    from tpinn.pallas.mlp_bundle import ns_residual_mse, ns_residual_weighted_obj
+    from tpinn.pipeline import (
+        FusedNSWeightedObjective, NSPhysics, ResidualBundle,
+        mass_residual, momentum_residual,
+    )
+
+    model = MLP(2, 3, width=32, depth=3, seed=5, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 500.0]), np.array([0.0, 250.0]), np.array([-1e4, 1e4])
+    )
+    phys = NSPhysics(conv=1.0, visc=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (300, 2)), dtype=jnp.float64
+    )
+    w = (10.0, 1.0, 1.0)
+    wj = jnp.asarray(w)
+
+    def xla_loss(p):
+        prev = model._bound
+        model._bound = p
+        b = ResidualBundle(model, x, use_pallas=False)
+        out = (
+            w[0] * jnp.mean(mass_residual(b, norm) ** 2)
+            + w[1] * jnp.mean(momentum_residual(b, 0, phys, norm) ** 2)
+            + w[2] * jnp.mean(momentum_residual(b, 1, phys, norm) ** 2)
+        )
+        model._bound = prev
+        return out
+
+    # raw API: one-pass value + mses + grads
+    def wobj_loss(p):
+        L, _ = ns_residual_weighted_obj(p, x, phys, norm, w, np_tile=256,
+                                        interpret=True)
+        return L
+
+    vx, gx = jax.value_and_grad(xla_loss)(params)
+    vp, gp = jax.value_and_grad(wobj_loss)(params)
+    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-12)
+    fx, _ = jax.flatten_util.ravel_pytree(gx)
+    fp, _ = jax.flatten_util.ravel_pytree(gp)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=1e-12,
+                               rtol=1e-9)
+
+    # mses channel == the fwd kernel's mses (log parity)
+    _, mses = ns_residual_weighted_obj(params, x, phys, norm, w,
+                                       np_tile=256, interpret=True)
+    mses_fwd = ns_residual_mse(params, x, phys, norm, np_tile=256,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(mses), np.asarray(mses_fwd),
+                               rtol=1e-13)
+
+    # loss-closure wiring: logged values are the one-pass raw MSEs EXACTLY
+    # (the gradient surrogate contributes 0.0 bitwise); vs the fwd kernel
+    # they differ only by op-grouping rounding (~1 ulp)
+    obj = FusedNSWeightedObjective(model, x, phys, norm, w, np_tile=256)
+    fns = obj.loss_fns()
+    vals = [float(f()) for f in fns]
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(mses))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(mses_fwd),
+                               rtol=1e-13)
+
+    def closure_loss(p):
+        prev = model._bound
+        model._bound = p
+        obj2 = FusedNSWeightedObjective(model, x, phys, norm, w, np_tile=256)
+        f1, f2, f3 = obj2.loss_fns()
+        out = w[0] * f1() + w[1] * f2() + w[2] * f3()
+        model._bound = prev
+        return out
+
+    vc, gc = jax.value_and_grad(closure_loss)(params)
+    np.testing.assert_allclose(float(vc), float(vx), rtol=1e-12)
+    fc, _ = jax.flatten_util.ravel_pytree(gc)
+    np.testing.assert_allclose(np.asarray(fc), np.asarray(fx), atol=1e-12,
+                               rtol=1e-9)

@@ -124,13 +124,20 @@ def test_lm_bound_driver_keeps_residual_losses(monkeypatch, tmp_path):
     pb = driver.train(callbacks=False)
     assert pb.history.round_names == ["keras_Adam", "jax_LM"]
 
-    # the same spec NOT bound for LM keeps the fused fast path
+    # the same spec NOT bound for LM keeps the fused fast path — on a
+    # single device that is the ONE-PASS weighted objective (loss + log
+    # MSEs + grads from one kernel launch), and a short Adam + dense-BFGS
+    # train through it must descend with both rounds logged
     driver2 = StandardNSDriver(spec, opts, base_dir=str(tmp_path),
                                save_results=False, seed=0,
                                second_round="jax-bfgs", adam_epochs=5)
     from tpinn.losses import PrecomputedMeanSquares
 
-    assert any(type(l) is PrecomputedMeanSquares for l in driver2.losses)
+    assert all(type(l) is PrecomputedMeanSquares for l in driver2.losses[:3])
+    assert "FusedNSWeightedObjective" in driver2.losses[0].fn.__qualname__
+    pb2 = driver2.train(callbacks=False)
+    assert pb2.history.round_names == ["keras_Adam", "jax_BFGS"]
+    assert pb2.history.loss_global[-1] < pb2.history.loss_global[0]
 
 
 # --------------------------------------------------------------------------

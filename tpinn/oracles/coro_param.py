@@ -37,11 +37,11 @@ class CoroGeoParams:
     ref2: float = 0.05
     ref3: float = 0.5
     # global size multiplier: the committed coroParam.msh is much finer than
-    # the raw .geo sizes (gmsh was run with a refinement factor); 0.047
+    # the raw .geo sizes (gmsh was run with a refinement factor); 0.042
     # reproduces its ~10.8k-node density (calibrated: 0.155 -> 1,927 nodes,
     # 0.065 -> 5,708, scaling sub-quadratically because the gradation cap
     # ref3·size_factor shrinks with the factor)
-    size_factor: float = 0.047
+    size_factor: float = 0.042
 
 
 def _control_points(prm: CoroGeoParams) -> Dict[int, Tuple[float, float]]:
@@ -234,6 +234,40 @@ def mesh_coronary(prm: CoroGeoParams = CoroGeoParams(), max_iter: int = 80,
         if float(np.max(np.linalg.norm(move[n_fix:], axis=1) / h0,
                         initial=0.0)) < 1e-3:
             break
+
+    # quality cleanup: interior nodes that drifted too close to the pinned
+    # boundary create slivers/degenerate triangles (observed: 5 zero-area
+    # triangles at full density) — P1 FEM cannot tolerate them.  Drop
+    # interior nodes within 0.4·h of the boundary, then iteratively remove
+    # the interior vertex of any remaining near-degenerate triangle.
+    d_int = _signed_distance(pts[n_fix:], bnd)
+    h_int = h_field(pts[n_fix:])
+    keep = d_int < -0.4 * h_int
+    pts = np.concatenate([pts[:n_fix], pts[n_fix:][keep]])
+
+    for _ in range(20):
+        tri = triangulate(pts)
+        p = pts[tri]
+        e1 = p[:, 1] - p[:, 0]
+        e2 = p[:, 2] - p[:, 0]
+        area2 = np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+        lmax = np.maximum(
+            np.maximum((e1**2).sum(1), (e2**2).sum(1)),
+            ((p[:, 2] - p[:, 1]) ** 2).sum(1),
+        )
+        bad = area2 < 0.02 * lmax  # sliver: height << longest edge
+        if not np.any(bad):
+            break
+        drop = set()
+        for t in tri[bad]:
+            interior = [v for v in t if v >= n_fix]
+            if interior:
+                drop.add(max(interior))
+        if not drop:
+            break  # all-boundary sliver: leave to the FEM's tolerance
+        mask = np.ones(len(pts), dtype=bool)
+        mask[list(drop)] = False
+        pts = pts[mask]
 
     tri = triangulate(pts)
     # drop unreferenced points (rejected/escaped stragglers)

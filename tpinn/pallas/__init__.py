@@ -12,12 +12,20 @@ Performance status (v5e, 65k points, 2→32³→3 MLP):
 * mlp_taylor_bundle (materializing outputs): correct, compiles ~70x faster
   than the jet graph through the remote-compile tunnel, but slower to run;
   useful where bundle outputs are consumed directly.
-* ns_residual_mse (in-kernel reduction): correct but the constant-output-
-  block accumulator serializes the grid pipeline (~27 ms) — needs a
-  per-tile-output + host-sum layout and transposed input blocks.  Kept as a
-  validated starting point for kernel work; not used by default.
+* ns_residual_mse (in-kernel chunk loop + double-buffered HBM streaming,
+  hand-written backward): the DEFAULT TPU PDE-loss path since round 2 —
+  5-11x the XLA jet path per train step (bench.py).
+* ns_residual_weighted_obj (round 3): ONE-PASS training objective — the
+  backward kernel called with the loss weights as cotangents returns the
+  weighted loss, the raw MSEs (log channels), and the parameter gradients
+  in a single launch (3 propagation units instead of fwd+bwd's 4).
 """
 
-from tpinn.pallas.mlp_bundle import mlp_taylor_bundle, ns_residual_mse, pallas_available
+from tpinn.pallas.mlp_bundle import (
+    mlp_taylor_bundle,
+    ns_residual_mse,
+    ns_residual_weighted_obj,
+    pallas_available,
+)
 
-__all__ = ["mlp_taylor_bundle", "ns_residual_mse", "pallas_available"]
+__all__ = ["mlp_taylor_bundle", "ns_residual_mse", "ns_residual_weighted_obj", "pallas_available"]

@@ -260,6 +260,15 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
     reverse accumulating dW/db in the fori_loop carry.  Gradients w.r.t. the
     collocation points are NOT produced (training never needs them).
 
+    The three raw squared-residual SUMS are accumulated alongside and
+    written to a final (8, 128) output block — they come for free (the
+    residuals are materialized for the cotangents anyway), which is what
+    makes the ONE-PASS training objective possible: calling this kernel
+    with the loss weights as cotangents yields the weighted PDE loss, its
+    raw MSE components, AND the parameter gradients in a single launch,
+    replacing the fwd+bwd pair (4 propagation units -> 3, one HBM stream
+    of the batch instead of two).  See ``ns_residual_weighted_obj``.
+
     Stream layout and ``spatial``/``phys["time"]`` semantics match
     :func:`_residual_kernel` (steady 5 streams / unsteady 6).  Like the
     forward kernel, the point batch stays in HBM and chunks are streamed
@@ -275,7 +284,8 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
     gbar_ref = refs[2 * n_layers]
     out_refs = refs[2 * n_layers + 1 :]
     dw_refs = out_refs[:n_layers]
-    db_refs = out_refs[n_layers:]
+    db_refs = out_refs[n_layers : 2 * n_layers]
+    mse_ref = out_refs[2 * n_layers]
 
     d_in = widths[0]
     dp = max(d_in, _DP)  # padded feature rows (see _prep_residual_args)
@@ -314,6 +324,13 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
         for i in range(n_layers):
             dw_refs[i][...] = acc[i]
             db_refs[i][...] = acc[n_layers + i]
+        sq = acc[2 * n_layers]  # (3,) squared-residual sums
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        out = jnp.zeros((8, 128), dtype=dtype)
+        for j in range(3):
+            out = out + jnp.where((sub == 0) & (lane == j), sq[j], 0.0)
+        mse_ref[...] = out
 
     def _bwd_chunk(c, xt, carry):
         streams = [xt]
@@ -367,6 +384,7 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
 
         zero = jnp.zeros((chunk,), dtype=dtype)
         c_k = []
+        sq_parts = [jnp.sum(r_mass * r_mass)]
         for k in (0, 1):
             gk2 = gx[2] if k == 0 else gy[2]
             inner = (
@@ -377,6 +395,7 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
             if timec != 0.0:
                 inner = inner + timec * nv * gt[k]
             r = jnp.where(valid, inner * scale, 0.0)
+            sq_parts.append(jnp.sum(r * r))
             # d mse_k / d inner = (2 r / n) · scale
             c_k.append(g_cot[1 + k] * two_over_n * r * scale)
 
@@ -419,7 +438,8 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
         )  # (3, S·CH)
 
         dws = list(carry[:n_layers])
-        dbs = list(carry[n_layers:])
+        dbs = list(carry[n_layers : 2 * n_layers])
+        sq = carry[2 * n_layers] + jnp.stack(sq_parts)
         for li in range(n_layers - 1, -1, -1):
             if li == n_layers - 1:
                 dz = ds
@@ -458,14 +478,14 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
                 ws[li], dz, (((1,), (0,)), ((), ())),
                 preferred_element_type=dtype,
             )
-        return tuple(dws) + tuple(dbs)
+        return tuple(dws) + tuple(dbs) + (sq,)
 
     init = tuple(
         jnp.zeros((dp if i == 0 else widths[i], widths[i + 1]), dtype=dtype)
         for i in range(n_layers)
     ) + tuple(
         jnp.zeros((1, widths[i + 1]), dtype=dtype) for i in range(n_layers)
-    )
+    ) + (jnp.zeros((3,), dtype=dtype),)
     pl.run_scoped(
         scoped,
         xbuf=pltpu.VMEM((2, dp, chunk), dtype),
@@ -554,6 +574,8 @@ def _ns_mse_forward(params, x, phys, chunk, interpret):
 
 
 def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
+    """(dparams, mses): parameter cotangents for the given (3,) MSE
+    cotangents, plus the raw MSE values (accumulated in the same pass)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -585,8 +607,8 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
     ] + [
         jax.ShapeDtypeStruct((1, widths[i + 1]), dtype)
         for i in range(n_layers)
-    ]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers)
+    ] + [jax.ShapeDtypeStruct((8, 128), dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers + 1)
     outs = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -598,7 +620,8 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
         {"kernel": outs[i][: widths[i]], "bias": outs[n_layers + i][0]}
         for i in range(n_layers)
     ]
-    return dparams
+    mses = outs[2 * n_layers][0, :3] / n
+    return dparams, mses
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -613,7 +636,7 @@ def _ns_mse_fwd(params, x, phys_items, chunk, interpret):
 
 def _ns_mse_bwd(phys_items, chunk, interpret, res, gbar):
     params, x = res
-    dparams = _ns_mse_backward(
+    dparams, _ = _ns_mse_backward(
         params, x, gbar, dict(phys_items), chunk, interpret
     )
     # no gradient w.r.t. the collocation points (never needed in training;
@@ -622,6 +645,65 @@ def _ns_mse_bwd(phys_items, chunk, interpret, res, gbar):
 
 
 _ns_mse_prim.defvjp(_ns_mse_fwd, _ns_mse_bwd)
+
+
+# ---------------------------------------------------------------------------
+# One-pass weighted objective: loss + raw MSEs + parameter grads, ONE kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _ns_wobj_prim(params, x, weights, phys_items, chunk, interpret):
+    _, mses = _ns_mse_backward(
+        params, x, jnp.asarray(weights), dict(phys_items), chunk, interpret
+    )
+    w = jnp.asarray(weights, mses.dtype)
+    return jnp.dot(w, mses), mses
+
+
+def _ns_wobj_fwd(params, x, weights, phys_items, chunk, interpret):
+    dparams, mses = _ns_mse_backward(
+        params, x, jnp.asarray(weights), dict(phys_items), chunk, interpret
+    )
+    w = jnp.asarray(weights, mses.dtype)
+    return (jnp.dot(w, mses), mses), (dparams, x)
+
+
+def _ns_wobj_bwd(weights, phys_items, chunk, interpret, res, cts):
+    dparams, x = res
+    g_loss, _g_mses = cts  # mses are LOG-ONLY: their cotangent is dropped
+    scaled = jax.tree_util.tree_map(lambda a: g_loss * a, dparams)
+    return scaled, jnp.zeros_like(jnp.asarray(x))
+
+
+_ns_wobj_prim.defvjp(_ns_wobj_fwd, _ns_wobj_bwd)
+
+
+def ns_residual_weighted_obj(params, x, physics, norm, weights,
+                             np_tile: int = 4096, interpret: bool = False):
+    """(weighted_loss, (mse_mass, mse_u, mse_v)) in ONE kernel launch.
+
+    ``weighted_loss = w·mses`` is differentiable w.r.t. ``params`` at zero
+    extra cost: the kernel is the backward kernel called with the loss
+    WEIGHTS as cotangents, so it produces the parameter gradients of the
+    weighted loss in the same pass that materializes the residuals; the
+    custom VJP just scales the stashed gradients.  This replaces the
+    fwd+bwd kernel pair of a ``value_and_grad`` over ``ns_residual_mse``
+    (4 propagation units and two HBM streams of the batch -> 3 units, one
+    stream, one launch).
+
+    CONTRACT: the returned ``mses`` are for LOGGING ONLY — their cotangent
+    is dropped by the VJP.  Wrap them in ``lax.stop_gradient`` at the call
+    site (tpinn.pipeline.FusedNSWeightedObjective does)."""
+    phys_items = (
+        ("nv", float(norm.norm_vel)), ("npre", float(norm.norm_pre)),
+        ("scale", float(norm.residual_scale)),
+        ("conv", float(physics.conv)), ("visc", float(physics.visc)),
+        ("pres", float(physics.pres)), ("time", float(physics.time)),
+    )
+    w = tuple(float(v) for v in weights)
+    return _ns_wobj_prim(params, x, w, phys_items, int(np_tile),
+                         bool(interpret))
 
 
 def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,

@@ -167,6 +167,64 @@ class FusedNSResidualMSEs:
         )
 
 
+class FusedNSWeightedObjective:
+    """ONE-PASS training objective: weighted PDE loss + raw MSE log channels
+    + parameter gradients from a single kernel launch
+    (tpinn.pallas.ns_residual_weighted_obj — the backward kernel invoked
+    with the loss weights as cotangents).  Replaces the fwd+bwd pair of a
+    value_and_grad over FusedNSResidualMSEs: 3 propagation units instead of
+    4, one HBM stream of the batch instead of two, one launch.
+
+    ``loss_fns()`` returns three closures shaped like the usual per-loss
+    MSEs: each LOGGED value is the exact raw MSE (the gradient surrogate
+    ``(L - stop_grad(L))/w`` added to the first channel is exactly 0.0 in
+    the primal), while the gradient of ``Σ wᵢ·fᵢ()`` is exactly ``∇L`` —
+    so PrecomputedMeanSquares wiring and History_Loss.json stay unchanged.
+    Single-device only (the sharded path keeps FusedNSResidualMSEs under
+    shard_map)."""
+
+    def __init__(self, model: Model, x, physics: "NSPhysics",
+                 norm: Normalization, weights, np_tile: int = 4096):
+        self.model = model
+        self.x = x
+        self.physics = physics
+        self.norm = norm
+        self.weights = tuple(float(w) for w in weights)
+        self.np_tile = np_tile
+        self._memo = None
+
+    def _compute(self):
+        from tpinn.pallas import ns_residual_weighted_obj
+
+        params = self.model.current_params
+        leaf = params[0]["kernel"]
+        if self._memo is not None and self._memo[0] is leaf:
+            return self._memo[1]
+        interpret = jax.default_backend() != "tpu"
+        out = ns_residual_weighted_obj(
+            params, self.x, self.physics, self.norm, self.weights,
+            np_tile=self.np_tile, interpret=interpret,
+        )
+        self._memo = (leaf, out)
+        return out
+
+    def loss_fns(self):
+        # gradient rides the first channel whose weight is nonzero
+        gi = next((i for i, w in enumerate(self.weights) if w != 0.0), 0)
+        wg = self.weights[gi] or 1.0
+
+        def chan(i):
+            def fn():
+                L, m = self._compute()
+                v = jax.lax.stop_gradient(m[i])
+                if i == gi:
+                    v = v + (L - jax.lax.stop_gradient(L)) / wg
+                return v
+            return fn
+
+        return chan(0), chan(1), chan(2)
+
+
 def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
                          mesh=None) -> bool:
     """Default policy for routing the PDE losses through the fused Pallas
