@@ -5,8 +5,9 @@ on the fused PDE residual evaluation (forward + all first derivatives +
 Laplacians — the hot loop that is ≥99% of reference runtime, SURVEY.md §3.2).
 The reference publishes no throughput numbers; the baseline is the
 reference's own implementation style — an eager, tape-walking autograd
-evaluation on CPU (the reference is TF2-eager CPU; measured here with the
-equivalent torch-CPU tape implementation, since TF is not in this image).
+evaluation on CPU.  Primary baseline: the reference's ACTUAL stack, TF2
+eager + persistent GradientTape, float64 CPU (TF 2.21 ships in this image);
+a torch-CPU tape stand-in remains as fallback when TF cannot load.
 
 Measured modes (scan-amortized: a lax.scan of K iterations inside ONE jit,
 result fetched to host — the same shape as the real training loop's
@@ -149,11 +150,16 @@ def _bench_train_step(model, params, norm, physics, x, iters, use_pallas):
     import optax
 
     if use_pallas:
-        from tpinn.pallas.mlp_bundle import ns_residual_mse
+        # one-pass objective (round 3): the production single-device train
+        # path — loss + log MSEs + grads from ONE kernel launch
+        # (3 propagation units vs fwd+bwd's 4)
+        from tpinn.pallas.mlp_bundle import ns_residual_weighted_obj
 
         def loss_fn(p, x):
-            m = ns_residual_mse(p, x, physics, norm)
-            return 10.0 * m[0] + m[1] + m[2]
+            L, _ = ns_residual_weighted_obj(
+                p, x, physics, norm, (10.0, 1.0, 1.0)
+            )
+            return L
     else:
         loss_fn = _xla_loss_fn(model, norm, physics)
 
@@ -304,11 +310,12 @@ def analytic_kernel_work_per_point(widths=(2, 32, 32, 32, 3),
     gradient per input column, Hessian diagonal for the two spatial
     columns: S = 3 + dim) through the MLP — one (n_in, n_out) matmul over
     S·chunk lanes per layer (tpinn/pallas/mlp_bundle.py::_fwd_chunk).  The
-    train step = fwd kernel + bwd kernel; the bwd recomputes the forward
-    streams, accumulates dW (s_li @ dz) and backpropagates ds (W @ dz) per
-    layer (::_bwd_chunk) — 3x the forward's matmul work, 4x in total.
-    Counted with the TRUE feature dims (not the sublane padding to 8), so
-    the resulting MFU is a conservative utilization figure.
+    ONE-PASS train step (ns_residual_weighted_obj, the production path) is
+    the backward kernel alone: forward-stream propagation + dW accumulation
+    (s_li @ dz) + ds backprop (W @ dz) per layer (::_bwd_chunk) — 3x the
+    forward's matmul work per step.  Counted with the TRUE feature dims
+    (not the sublane padding to 8), so the resulting MFU is a conservative
+    utilization figure.
 
     VPU ops: elementwise work on the (width, S·chunk) streams — tanh
     (counted as 1 op/element), tp = 1 − v², per-gradient-stream tp·gz, the
@@ -324,7 +331,7 @@ def analytic_kernel_work_per_point(widths=(2, 32, 32, 32, 3),
     n_h = 2
     S = 1 + dim + n_h
     fwd_mm = sum(2 * a * b * S for a, b in zip(widths[:-1], widths[1:]))
-    train_mm = 4 * fwd_mm
+    train_mm = 3 * fwd_mm  # one-pass kernel: recompute + dW + ds
 
     fwd_vpu = 0
     for w in widths[1:-1]:  # hidden layers
@@ -336,7 +343,7 @@ def analytic_kernel_work_per_point(widths=(2, 32, 32, 32, 3),
         )
         fwd_vpu += w * per_elem
     fwd_vpu += 40  # residual assembly + masked square-accumulate
-    train_vpu = fwd_vpu * 3 + 60  # recompute + cotangent/dz chain algebra
+    train_vpu = fwd_vpu * 3 + 60  # fwd streams + cotangent/dz chain algebra
     return {"fwd_matmul": fwd_mm, "train_matmul": train_mm,
             "fwd_vpu": fwd_vpu, "train_vpu": train_vpu}
 
