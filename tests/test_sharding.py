@@ -125,3 +125,51 @@ def test_sharded_fused_residual_mse_matches_single(mesh):
     g2, _ = jax.flatten_util.ravel_pytree(jax.grad(sharded)(params))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12,
                                rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_sharded_one_pass_weighted_obj_matches_single(mesh):
+    """shard_map-wrapped ONE-PASS objective (loss + log MSEs + grads from
+    one kernel per shard) equals the single-instance one-pass call, values
+    AND parameter grads, on the 8-dev mesh."""
+    from tpinn.geometry import Normalization
+    from tpinn.models import MLP
+    from tpinn.pallas.mlp_bundle import ns_residual_weighted_obj
+    from tpinn.pipeline import NSPhysics
+    from tpinn.sharding import sharded_ns_weighted_obj
+
+    model = MLP(2, 3, width=32, depth=3, seed=4, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 500.0]), np.array([0.0, 250.0]), np.array([-1e4, 1e4])
+    )
+    phys = NSPhysics(conv=1.0, visc=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (1024, 2)), dtype=jnp.float64
+    )
+    w = (10.0, 1.0, 1.0)
+
+    def single(p):
+        L, _ = ns_residual_weighted_obj(p, x, phys, norm, w, np_tile=128,
+                                        interpret=True)
+        return L
+
+    x_sh = sharding.shard_points(x, mesh)
+
+    def shd(p):
+        L, _ = sharded_ns_weighted_obj(p, x_sh, phys, norm, w, mesh,
+                                       np_tile=128, interpret=True)
+        return L
+
+    np.testing.assert_allclose(float(single(params)), float(shd(params)),
+                               rtol=1e-12)
+    g1, _ = jax.flatten_util.ravel_pytree(jax.grad(single)(params))
+    g2, _ = jax.flatten_util.ravel_pytree(jax.grad(shd)(params))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12,
+                               rtol=1e-9)
+    # the log channels agree too
+    _, m1 = ns_residual_weighted_obj(params, x, phys, norm, w, np_tile=128,
+                                     interpret=True)
+    _, m2 = sharded_ns_weighted_obj(params, x_sh, phys, norm, w, mesh,
+                                    np_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)

@@ -360,25 +360,21 @@ class StandardNSDriver:
             wants_residuals = self.second_round in ("lm", "jax-lm", "gn")
             if not wants_residuals and use_fused_pde_losses(
                     model, spec.unsteady, spec.dim_in, self.mesh):
-                # fused Pallas path: all three PDE MSEs in one kernel call
-                # (fwd + hand-written bwd) — measured 5-11x faster train
-                # step than the XLA jet path on TPU v5e (bench.py); under a
-                # mesh the kernel runs per-shard via shard_map + pmean.
-                # Single-device: the ONE-PASS weighted objective (loss +
-                # log MSEs + grads from one launch, 3 propagation units
-                # instead of fwd+bwd's 4 — pipeline.FusedNSWeightedObjective)
-                if self.mesh is None:
-                    from tpinn.pipeline import FusedNSWeightedObjective
+                # fused Pallas path, round 3: the ONE-PASS weighted
+                # objective — loss + log MSEs + parameter grads from one
+                # kernel launch (3 propagation units instead of fwd+bwd's
+                # 4 — pipeline.FusedNSWeightedObjective).  Under a mesh the
+                # same kernel runs per point shard via shard_map with
+                # pmean'd values and psum'd grads.
+                from tpinn.pipeline import FusedNSWeightedObjective
 
-                    fused = FusedNSWeightedObjective(
-                        model, x_pde, spec.physics, norm,
-                        weights=(spec.weight("PDE_MASS", 1e1),
-                                 spec.weight("PDE_MOMU", 1e0),
-                                 spec.weight("PDE_MOMV", 1e0)),
-                    )
-                else:
-                    fused = FusedNSResidualMSEs(model, x_pde, spec.physics,
-                                                norm, mesh=self.mesh)
+                fused = FusedNSWeightedObjective(
+                    model, x_pde, spec.physics, norm,
+                    weights=(spec.weight("PDE_MASS", 1e1),
+                             spec.weight("PDE_MOMU", 1e0),
+                             spec.weight("PDE_MOMV", 1e0)),
+                    mesh=self.mesh,
+                )
                 f_mass, f_momu, f_momv = fused.loss_fns()
                 losses += [
                     PrecomputedMeanSquares("PDE_MASS", f_mass,

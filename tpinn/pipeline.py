@@ -180,31 +180,42 @@ class FusedNSWeightedObjective:
     ``(L - stop_grad(L))/w`` added to the first channel is exactly 0.0 in
     the primal), while the gradient of ``Σ wᵢ·fᵢ()`` is exactly ``∇L`` —
     so PrecomputedMeanSquares wiring and History_Loss.json stay unchanged.
-    Single-device only (the sharded path keeps FusedNSResidualMSEs under
-    shard_map)."""
+    Under a device mesh the same one-pass kernel runs per point shard via
+    shard_map with pmean'd loss/MSEs and psum'd parameter grads
+    (tpinn.sharding.sharded_ns_weighted_obj)."""
 
     def __init__(self, model: Model, x, physics: "NSPhysics",
-                 norm: Normalization, weights, np_tile: int = 4096):
+                 norm: Normalization, weights, np_tile: int = 4096,
+                 mesh=None):
         self.model = model
         self.x = x
         self.physics = physics
         self.norm = norm
         self.weights = tuple(float(w) for w in weights)
         self.np_tile = np_tile
+        self.mesh = mesh  # multi-chip: shard_map over the points axis
         self._memo = None
 
     def _compute(self):
-        from tpinn.pallas import ns_residual_weighted_obj
-
         params = self.model.current_params
         leaf = params[0]["kernel"]
         if self._memo is not None and self._memo[0] is leaf:
             return self._memo[1]
         interpret = jax.default_backend() != "tpu"
-        out = ns_residual_weighted_obj(
-            params, self.x, self.physics, self.norm, self.weights,
-            np_tile=self.np_tile, interpret=interpret,
-        )
+        if self.mesh is not None:
+            from tpinn.sharding import sharded_ns_weighted_obj
+
+            out = sharded_ns_weighted_obj(
+                params, self.x, self.physics, self.norm, self.weights,
+                self.mesh, np_tile=self.np_tile, interpret=interpret,
+            )
+        else:
+            from tpinn.pallas import ns_residual_weighted_obj
+
+            out = ns_residual_weighted_obj(
+                params, self.x, self.physics, self.norm, self.weights,
+                np_tile=self.np_tile, interpret=interpret,
+            )
         self._memo = (leaf, out)
         return out
 

@@ -166,3 +166,43 @@ def sharded_ns_residual_mse(params, x, physics, norm, mesh: Mesh,
         # tests/test_sharding.py equality vs the single-instance kernel)
         check_vma=False,
     )(params, x)
+
+
+def sharded_ns_weighted_obj(params, x, physics, norm, weights, mesh: Mesh,
+                            np_tile: int = 4096, interpret: bool = False):
+    """Multi-chip ONE-PASS training objective: each device runs the
+    backward kernel with the loss weights as cotangents on its local point
+    shard (tpinn.pallas.ns_residual_weighted_obj — weighted loss + log
+    MSEs + parameter grads in one launch), and a ``pmean`` over the point
+    axis combines the per-shard values; equal shards make the mean of
+    local means the exact global loss/MSEs.  Gradients compose: shard_map
+    transposes the pmean into a cotangent split, the custom VJP scales each
+    shard's stashed gradients, and the replicated-parameter gradients psum
+    over ICI.  The mses output is log-only (cotangent dropped by the VJP).
+    """
+    from tpinn.pallas.mlp_bundle import ns_residual_weighted_obj
+
+    n = int(x.shape[0])
+    n_dev = int(mesh.devices.size)
+    if n % n_dev != 0:
+        raise ValueError(
+            f"point count {n} does not divide the {n_dev}-device mesh; "
+            "pad with shard_points first"
+        )
+
+    def local(p, xl):
+        L, mses = ns_residual_weighted_obj(
+            p, xl, physics, norm, weights, np_tile=np_tile,
+            interpret=interpret,
+        )
+        return (jax.lax.pmean(L, POINT_AXIS),
+                jax.lax.pmean(mses, POINT_AXIS))
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.sharding.PartitionSpec(),
+                  jax.sharding.PartitionSpec(POINT_AXIS)),
+        out_specs=(jax.sharding.PartitionSpec(),
+                   jax.sharding.PartitionSpec()),
+        check_vma=False,
+    )(params, x)
