@@ -321,10 +321,13 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
             return _bwd_chunk(c, xbuf[slot], carry)
 
         acc = jax.lax.fori_loop(0, n_chunks, body, init)
+        gram = acc[0]  # packed (Σ in_li, Σ out_li) dW Gram — see _bwd_chunk
         for i in range(n_layers):
-            dw_refs[i][...] = acc[i]
-            db_refs[i][...] = acc[n_layers + i]
-        sq = acc[2 * n_layers]  # (3,) squared-residual sums
+            dw_refs[i][...] = gram[
+                row_off[i] : row_off[i + 1], col_off[i] : col_off[i + 1]
+            ]
+            db_refs[i][...] = acc[1 + i]
+        sq = acc[1 + n_layers]  # (3,) squared-residual sums
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         out = jnp.zeros((8, 128), dtype=dtype)
@@ -437,9 +440,9 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
             axis=1,
         )  # (3, S·CH)
 
-        dws = list(carry[:n_layers])
-        dbs = list(carry[n_layers : 2 * n_layers])
-        sq = carry[2 * n_layers] + jnp.stack(sq_parts)
+        dbs = list(carry[1 : 1 + n_layers])
+        sq = carry[1 + n_layers] + jnp.stack(sq_parts)
+        dz_list = [None] * n_layers
         for li in range(n_layers - 1, -1, -1):
             if li == n_layers - 1:
                 dz = ds
@@ -470,19 +473,39 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
                 dz = jnp.concatenate(dz_parts, axis=1)
             # bias feeds the value stream only
             dbs[li] = dbs[li] + jnp.sum(dz[:, :chunk], axis=1)[None, :]
-            dws[li] = dws[li] + jax.lax.dot_general(
-                s_list[li], dz, (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype,
-            )
-            ds = jax.lax.dot_general(
-                ws[li], dz, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-            )
-        return tuple(dws) + tuple(dbs) + (sq,)
+            dz_list[li] = dz
+            if li > 0:
+                # layer 0's input gradient is never used (training never
+                # differentiates w.r.t. the collocation points) — skip it.
+                ds = jax.lax.dot_general(
+                    ws[li], dz, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                )
+        # ONE packed dW contraction per chunk: the per-layer dW matmuls have
+        # tiny (in_li, out_li) output tiles (32×32 ≪ the 128×128 MXU), so
+        # four separate long-K matmuls waste ~4× the MXU passes.  Stacking
+        # the layer inputs (Σ in_li = 104 rows for the standard 3×32 net)
+        # against the stacked dz cotangents (Σ out_li = 99 rows) fills one
+        # MXU tile; the per-layer dW blocks are the diagonal of the Gram,
+        # sliced out once after the chunk loop.
+        s_cat = jnp.concatenate(s_list[:n_layers], axis=0)
+        dz_cat = jnp.concatenate(dz_list, axis=0)
+        gram = carry[0] + jax.lax.dot_general(
+            s_cat, dz_cat, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+        return (gram,) + tuple(dbs) + (sq,)
 
-    init = tuple(
-        jnp.zeros((dp if i == 0 else widths[i], widths[i + 1]), dtype=dtype)
-        for i in range(n_layers)
+    in_dims = [dp] + [widths[i] for i in range(1, n_layers)]
+    out_dims = [widths[i + 1] for i in range(n_layers)]
+    row_off = [0]
+    for d in in_dims:
+        row_off.append(row_off[-1] + d)
+    col_off = [0]
+    for d in out_dims:
+        col_off.append(col_off[-1] + d)
+    init = (
+        jnp.zeros((row_off[-1], col_off[-1]), dtype=dtype),
     ) + tuple(
         jnp.zeros((1, widths[i + 1]), dtype=dtype) for i in range(n_layers)
     ) + (jnp.zeros((3,), dtype=dtype),)
