@@ -535,23 +535,35 @@ def main(argv=None):
         round(work["train_vpu"] * best_train_pts) if best_train_pts else None
     )
 
+    # Measure BOTH reference-style CPU baselines (round-3 advisor finding:
+    # swapping the baseline implementation between rounds made the headline
+    # vs_baseline multiplier non-comparable across captures; recording both
+    # keeps every round's ratio reproducible against either).  Primary: the
+    # reference's ACTUAL stack (TF2 eager GradientTape, f64 CPU).
+    baselines = {}
     try:
-        base_pts_per_sec, _ = bench_tf_reference_style(
+        tf_pts, _ = bench_tf_reference_style(
             args.baseline_points, args.baseline_iters
         )
+        baselines["tf2_eager_f64_cpu"] = round(tf_pts, 1)
+    except Exception as e:
+        print(f"TF baseline failed: {e}", file=sys.stderr)
+    try:
+        torch_pts, _ = bench_torch_reference_style(
+            args.baseline_points, args.baseline_iters
+        )
+        baselines["torch_cpu_f64"] = round(torch_pts, 1)
+    except Exception as e:
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+    if "tf2_eager_f64_cpu" in baselines:
+        base_pts_per_sec = baselines["tf2_eager_f64_cpu"]
         baseline_impl = "tf2-eager GradientTape, float64 CPU (the reference's actual stack)"
-    except Exception as e:  # TF missing/broken: torch stand-in
-        print(f"TF baseline failed ({e}); trying torch stand-in",
-              file=sys.stderr)
-        try:
-            base_pts_per_sec, _ = bench_torch_reference_style(
-                args.baseline_points, args.baseline_iters
-            )
-            baseline_impl = "torch-cpu eager tape (TF2-eager stand-in)"
-        except Exception as e2:  # report absolute only
-            print(f"baseline failed: {e2}", file=sys.stderr)
-            base_pts_per_sec = None
-            baseline_impl = None
+    elif "torch_cpu_f64" in baselines:
+        base_pts_per_sec = baselines["torch_cpu_f64"]
+        baseline_impl = "torch-cpu eager tape (TF2-eager stand-in)"
+    else:
+        base_pts_per_sec = None
+        baseline_impl = None
 
     result = {
         "metric": "ns_residual_pts_per_sec",
@@ -570,6 +582,7 @@ def main(argv=None):
             round(base_pts_per_sec, 1) if base_pts_per_sec else None
         ),
         "baseline_impl": baseline_impl,
+        "baselines": baselines,  # every measured baseline, for comparability
         "train_step_pts_per_sec": round(train_pts, 1),
         "train_step_flops": train_flops,
         "train_mfu_bf16_peak": mfu,

@@ -121,5 +121,10 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--second-round", default="scipy", choices=["scipy", "jax", "jax-bfgs", "lm"])
     ap.add_argument("--no-plots", action="store_true")
+    ap.add_argument("--out-dir", default=None,
+                    help="artifact directory (default: this example's; "
+                    "smoke runs should point elsewhere so they cannot "
+                    "clobber campaign artifacts)")
     args = ap.parse_args()
-    main(args.epochs, save_plots=not args.no_plots, second_round=args.second_round)
+    main(args.epochs, save_plots=not args.no_plots,
+         out_dir=args.out_dir, second_round=args.second_round)

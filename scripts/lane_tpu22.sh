@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-4 lane A (VERDICT r3 item 4): finish the two pure-TPU stragglers
+# with the fast-Gram f64-on-TPU LM polish that cracked the other four cases.
+#   1. plain Poisson (Dirichlet): pure-TPU row is the f32 LM one (2.49e-7);
+#      target test MSE <= 1e-7 (Report.pdf App. A.2).
+#   2. Cavity_Unsteady #003: u/v fits 4.67e-4/3.86e-4 vs reference run #011's
+#      4.58e-4/3.52e-4; target strictly better on all three.
+cd /root/repo
+export PYTHONPATH="/root/repo:${PYTHONPATH}"
+export JAX_ENABLE_X64=1
+echo $$ > /tmp/lane_tpu22.pid
+
+echo "=== poisson (Dirichlet) pure-TPU f64 fast-Gram LM $(date) ==="
+timeout 5400 python -u examples/Poisson_Problem/poisson.py \
+  --epochs 300 --second-round lm \
+  > /tmp/tpu22_poisson.log 2>&1
+tail -3 /tmp/tpu22_poisson.log
+
+for i in $(seq 1 3); do
+  echo "=== cavity_unsteady #003 f64 fast-Gram LM round $i $(date) ==="
+  timeout 9000 python -u examples/Cavity_Unsteady/cavity_unsteady.py \
+    --resume 'examples/Cavity_Unsteady/Test_Case_#003' --seed 0 \
+    --epochs 200 --second-round lm \
+    > "/tmp/tpu22_cavun_r$i.log" 2>&1
+  tail -3 "/tmp/tpu22_cavun_r$i.log"
+  python - <<'PY'
+import json
+h = json.load(open('examples/Cavity_Unsteady/Test_Case_#003/History_Loss.json'))
+lt = {k: v["log"][-1] for k, v in h["losses_test"].items()}
+print("   test:", {k: f"{v:.3e}" for k, v in lt.items()})
+ok = (lt["u_test"] <= 4.58e-4 and lt["v_test"] <= 3.52e-4
+      and lt["p_test"] <= 1.23e-4)
+raise SystemExit(0 if ok else 1)
+PY
+  if [ $? -eq 0 ]; then echo "=== unsteady strictly better than run #011 fits ==="; break; fi
+done
+rm -f /tmp/lane_tpu22.pid
+echo "=== lane_tpu22 done $(date) ==="

@@ -153,6 +153,41 @@ def test_ns_residual_mse_rejects_mismatched_input():
                         np_tile=64, interpret=True)
 
 
+def test_ns_residual_mse_n_valid_masking():
+    """Dynamic valid-count masking (round 4, exact-mean sharding): the MSEs
+    with (n_valid, n_mean) = (m, m) over a padded batch equal the plain
+    call over the first m rows — values AND parameter gradients."""
+    from tpinn.geometry import Normalization
+    from tpinn.pallas.mlp_bundle import ns_residual_mse
+    from tpinn.pipeline import NSPhysics
+
+    model = MLP(2, 3, width=32, depth=3, seed=0, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 500.0]), np.array([0.0, 250.0]), np.array([-1e4, 1e4])
+    )
+    phys = NSPhysics(conv=1.0, visc=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 1, (64, 2)), dtype=jnp.float64
+    )
+    m = 37
+
+    def masked(p):
+        return jnp.sum(ns_residual_mse(p, x, phys, norm, np_tile=64,
+                                       interpret=True, n_valid=m, n_mean=m))
+
+    def plain(p):
+        return jnp.sum(ns_residual_mse(p, x[:m], phys, norm, np_tile=64,
+                                       interpret=True))
+
+    np.testing.assert_allclose(float(masked(params)), float(plain(params)),
+                               rtol=1e-13)
+    g1, _ = jax.flatten_util.ravel_pytree(jax.grad(masked)(params))
+    g2, _ = jax.flatten_util.ravel_pytree(jax.grad(plain)(params))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10,
+                               atol=1e-15)
+
+
 def test_high_precision_ambient_detection():
     """minimize() wraps rounds in default_matmul_precision('highest'); the
     kernels read that ambient config at trace time to shrink their streamed

@@ -186,37 +186,20 @@ class StandardNSDriver:
 
             self.model.params = shd.replicate(self.model.params, mesh)
 
-    def _maybe_shard(self, arr, pad: bool = False):
-        """Point-axis data parallelism: place a point batch sharded over the
-        mesh (loss means then reduce with XLA-inserted psums; see
-        tpinn.sharding).
-
-        Used for the PDE collocation batch only.  When the point count does
-        not divide the device count: with ``pad=True`` the batch is padded
-        by repeating the last point — the fused Pallas kernel computes its
-        MSEs internally, and a PDE residual mean over a slightly duplicated
-        collocation set is still a valid objective.  Rhs-paired batches
-        (BC/IC/fit/test) go through :meth:`_shard_pair` instead, whose
-        mask-scale padding keeps their means mathematically exact."""
-        if self.mesh is None:
-            return arr
-        n_dev = self.mesh.devices.size
-        if arr.shape[0] == 0:
+    def _maybe_shard(self, arr):
+        """Point-axis data parallelism for the FUSED PDE path: place a point
+        batch sharded over the mesh, tail-padded up to the device count.
+        The fused kernels mask the padding rows via their dynamic valid-row
+        count and use the true count as the mean denominator
+        (tpinn.sharding.sharded_ns_*), so the sharded objective is the
+        EXACT single-device mean for any batch length.  Rhs-paired batches
+        and the jet-path PDE batch go through :meth:`_shard_pair` instead,
+        whose mask-scale rows give the same exactness on the XLA path."""
+        if self.mesh is None or arr.shape[0] == 0:
             return arr
         from tpinn import sharding as shd
 
-        if arr.shape[0] % n_dev == 0:
-            return shd.shard_points(arr, self.mesh, pad=False)
-        if pad:
-            return shd.shard_points(arr, self.mesh, pad=True)
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "point batch of %d does not divide mesh size %d; left UNSHARDED "
-            "(replicated) — pick a divisible point count for full data "
-            "parallelism", arr.shape[0], n_dev,
-        )
-        return arr
+        return shd.shard_points(arr, self.mesh, pad=True)
 
     def _shard_pair(self, x, *rhs):
         """Shard an rhs-paired batch with exact mask-scale padding
@@ -340,16 +323,15 @@ class StandardNSDriver:
         model, norm = self.model, self.norm
         LMS = LossMeanSquares
 
-        x_pde = self._maybe_shard(
-            jnp.take(self.dom_grid, jnp.asarray(self.idx_set["PDE"]), axis=0),
-            pad=True,
+        x_pde_raw = jnp.take(
+            self.dom_grid, jnp.asarray(self.idx_set["PDE"]), axis=0
         )
-        pde_bundle = ResidualBundle(model, x_pde, unsteady=spec.unsteady)
+        n_pde_true = int(x_pde_raw.shape[0])
 
         losses = []
         if opts.use_collloss:
             from tpinn.losses import PrecomputedMeanSquares
-            from tpinn.pipeline import FusedNSResidualMSEs, use_fused_pde_losses
+            from tpinn.pipeline import use_fused_pde_losses
 
             # the LM round builds the stacked residual vector from every
             # training loss (optimize._flat_residual_fn) — the fused Pallas
@@ -365,15 +347,15 @@ class StandardNSDriver:
                 # kernel launch (3 propagation units instead of fwd+bwd's
                 # 4 — pipeline.FusedNSWeightedObjective).  Under a mesh the
                 # same kernel runs per point shard via shard_map with
-                # pmean'd values and psum'd grads.
+                # psum'd values/grads and exact tail-padding masks.
                 from tpinn.pipeline import FusedNSWeightedObjective
 
                 fused = FusedNSWeightedObjective(
-                    model, x_pde, spec.physics, norm,
+                    model, self._maybe_shard(x_pde_raw), spec.physics, norm,
                     weights=(spec.weight("PDE_MASS", 1e1),
                              spec.weight("PDE_MOMU", 1e0),
                              spec.weight("PDE_MOMV", 1e0)),
-                    mesh=self.mesh,
+                    mesh=self.mesh, n_true=n_pde_true,
                 )
                 f_mass, f_momu, f_momv = fused.loss_fns()
                 losses += [
@@ -385,26 +367,41 @@ class StandardNSDriver:
                                            weight=spec.weight("PDE_MOMV", 1e0)),
                 ]
             else:
-                # point_residual: per-point structure for the LM fast Gram
-                # (single-device only — sharded batches carry exact-mean
-                # padding the per-point protocol does not model)
-                if self.mesh is None:
-                    from tpinn.pipeline import pde_point_residuals
+                # jet path: the PDE batch shards with the same exact
+                # mask-scale rows as every rhs-paired batch, and the
+                # point_residual protocol (the LM fast Gram) stays
+                # available under a mesh — padding rows carry scale 0, so
+                # they contribute neither residual nor Gram rows.
+                from tpinn.pipeline import (
+                    pde_point_residuals,
+                    scaled_point_residual,
+                )
 
-                    p_mass, p_momu, p_momv = pde_point_residuals(
-                        model, spec.physics, norm, spec.unsteady)
-                    pde_pr = [(p_mass, (x_pde,)), (p_momu, (x_pde,)),
-                              (p_momv, (x_pde,))]
+                x_pde, s_pde = self._shard_pair(x_pde_raw)
+                pde_bundle = ResidualBundle(
+                    model, x_pde, unsteady=spec.unsteady
+                )
+                p_mass, p_momu, p_momv = pde_point_residuals(
+                    model, spec.physics, norm, spec.unsteady)
+                if s_pde is None:
+                    pde_pr = [(p, (x_pde,))
+                              for p in (p_mass, p_momu, p_momv)]
                 else:
-                    pde_pr = [None, None, None]
+                    pde_pr = [(scaled_point_residual(p), (x_pde, s_pde))
+                              for p in (p_mass, p_momu, p_momv)]
                 losses += [
-                    LMS("PDE_MASS", lambda: mass_residual(pde_bundle, norm),
+                    LMS("PDE_MASS", lambda: _scaled(
+                        mass_residual(pde_bundle, norm), s_pde),
                         weight=spec.weight("PDE_MASS", 1e1),
                         point_residual=pde_pr[0]),
-                    LMS("PDE_MOMU", lambda: momentum_residual(pde_bundle, 0, spec.physics, norm),
+                    LMS("PDE_MOMU", lambda: _scaled(
+                        momentum_residual(pde_bundle, 0, spec.physics, norm),
+                        s_pde),
                         weight=spec.weight("PDE_MOMU", 1e0),
                         point_residual=pde_pr[1]),
-                    LMS("PDE_MOMV", lambda: momentum_residual(pde_bundle, 1, spec.physics, norm),
+                    LMS("PDE_MOMV", lambda: _scaled(
+                        momentum_residual(pde_bundle, 1, spec.physics, norm),
+                        s_pde),
                         weight=spec.weight("PDE_MOMV", 1e0),
                         point_residual=pde_pr[2]),
                 ]
@@ -412,15 +409,17 @@ class StandardNSDriver:
         from tpinn.pipeline import (
             dirichlet_point_residual,
             neumann_point_residual,
+            scaled_point_residual,
         )
 
         def _dir_pr(comp, x, rhs, scale):
-            """point_residual for a Dirichlet-style loss (None when the
-            batch is mask-padded under a mesh — exactness first)."""
-            if self.mesh is not None or scale is not None:
-                return None
+            """point_residual for a Dirichlet-style loss; under a mesh the
+            trailing mask-scale row keeps the per-point stack exact."""
             r = jnp.broadcast_to(jnp.asarray(rhs, x.dtype), (x.shape[0],))
-            return (dirichlet_point_residual(model, comp), (x, r))
+            fn = dirichlet_point_residual(model, comp)
+            if scale is None:
+                return (fn, (x, r))
+            return (scaled_point_residual(fn), (x, r, scale))
 
         if opts.use_boundary:
             edge_tags = {"SX": "x0", "DX": "x1", "BOT": "y0", "TOP": "y1"}
@@ -434,15 +433,14 @@ class StandardNSDriver:
                         bundle = ResidualBundle(
                             model, xb, unsteady=spec.unsteady,
                         )
-                        if self.mesh is None and sb is None:
-                            pr = (neumann_point_residual(
-                                      model, comp, direction, spec.physics,
-                                      norm, spec.unsteady),
-                                  (xb, jnp.broadcast_to(
-                                      jnp.asarray(rb, xb.dtype),
-                                      (xb.shape[0],))))
-                        else:
-                            pr = None
+                        fn_n = neumann_point_residual(
+                            model, comp, direction, spec.physics, norm,
+                            spec.unsteady)
+                        rb_full = jnp.broadcast_to(
+                            jnp.asarray(rb, xb.dtype), (xb.shape[0],))
+                        pr = ((fn_n, (xb, rb_full)) if sb is None
+                              else (scaled_point_residual(fn_n),
+                                    (xb, rb_full, sb)))
                         losses.append(
                             LMS(f"BCN_{tag}",
                                 (lambda b=bundle, c=comp, d=direction, r=rb, s=sb:
@@ -496,7 +494,9 @@ class StandardNSDriver:
                     point_residual=_dir_pr(2, xp, fit_p, s_p))
             )
         elif spec.pressure_gauge == "mean":
-            gauge_pts = x_pres if len(self.idx_set["Pres"]) else x_pde
+            # gauge over the RAW (unpadded, replicated) PDE batch: the mean
+            # penalty is a gauge choice, but padding must not change it
+            gauge_pts = x_pres if len(self.idx_set["Pres"]) else x_pde_raw
             losses.append(
                 Loss("PRESS_0", lambda: pressure_mean_penalty(model, gauge_pts),
                      weight=spec.weight("PRESS_0", 1e-2), non_negative=True)

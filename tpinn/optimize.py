@@ -861,6 +861,10 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     # verified against the batch closures at theta0 before being trusted.
     point_entries = (None if split
                      else _collect_point_entries(pb, unravel, res_jit, theta0))
+    # exposed for tests / the multichip dryrun: certifies the fast per-point
+    # Gram path was actually used (vs the chunked-jvp fallback), including
+    # under a device mesh where the Gram psums per shard via GSPMD
+    pb.lm_used_fast_gram = point_entries is not None
 
     if point_entries is not None:
         def gram_fast_fn(theta):

@@ -1,31 +1,44 @@
-"""Fused MLP Taylor-bundle Pallas kernel.
+"""Fused MLP Taylor-bundle Pallas kernels.
 
 Computes, for every collocation point, the MLP outputs plus all first input
 derivatives and the Hessian diagonals — the full bundle a Navier–Stokes
 residual needs — in ONE kernel pass.
 
-Layout (TPU-first): features live on sublanes, points on lanes.  The five
-Taylor streams per direction pair —
+Layout (TPU-first): features live on sublanes, points on lanes.  The Taylor
+streams per point —
 
     v   : value
-    g_k : ∂/∂x_k        (k = 0..d-1)
-    h_k : ∂²/∂x_k²
+    g_k : ∂/∂x_k        (k = 0..d_in-1, one per input column)
+    h_j : ∂²/∂x_j²      (spatial columns only)
 
-— are stacked along the LANE axis, so each dense layer is a single
-(out, in) @ (in, S·Np) matmul on the MXU (S = 1 + 2d streams).  The tanh
-coupling uses lane slices at Np-multiples (Np is a multiple of 128):
+— are kept as SEPARATE (width, chunk) arrays (round 4; earlier rounds
+stacked them along the lane axis into one (width, S·chunk) array).  A
+lane-axis concatenation materializes a full copy of every stream per layer
+— pure VMEM traffic — while splitting the layer matmul into one
+(out, in) @ (in, chunk) MXU call per stream costs the same MXU passes
+(ceil splits equally for chunk a multiple of 128).  The tanh coupling:
 
-    z streams:  v' = tanh(z_v);  g' = (1 − v'²) g_z;
-    h' = −2 v' (1 − v'²) g_z² + (1 − v'²) h_z
+    v' = tanh(z_v);  g'_k = tanh'(z_v) · z_gk;
+    h'_j = −2 v' tanh'(z_v) z_g{sj}² + tanh'(z_v) z_hj
 
-Biases are added to the value stream only.  Derivation: standard truncated
+Biases are added to the value stream only.  Layer-0 shortcuts: the gradient
+input streams are coordinate basis vectors, so z_gk is W0's k-th row
+broadcast (no matmul), and the Hessian input streams are exactly zero (their
+matmuls and the `tp·z_h` term are skipped).  Derivation: standard truncated
 Taylor (jet) propagation; identical math to tpinn.operators.taylor_bundle,
 which serves as the cross-checked XLA fallback (tests/test_pallas.py).
+
+Exact-mean masking (round 4): the residual kernels take a DYNAMIC valid-row
+count (SMEM scalar) and return raw squared-residual SUMS; the host wrapper
+divides by a static global denominator ``n_mean``.  Under a device mesh each
+shard masks its own tail padding and the psum of per-shard sums / n_mean is
+the exact global MSE for ANY batch length (tpinn.sharding).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence
 
 import jax
@@ -44,13 +57,59 @@ def pallas_available() -> bool:
 
 def _high_precision_ambient() -> bool:
     """True when tracing under jax.default_matmul_precision('highest'/
-    'float32').  tpinn.optimize.minimize wraps every round in that context
-    (bf16 matmul passes inject ~1e-3 loss jitter that breaks quasi-Newton
-    accept tests); Mosaic then emits multi-pass f32 matmuls whose scoped
-    VMEM scratch is ~4-6x larger — measured 22M vs the 16M limit at
-    chunk=2048 — so the streamed kernels must shrink their chunk."""
+    'float32').  tpinn.optimize.minimize wraps every second-order round in
+    that context (bf16 matmul passes inject ~1e-3 loss jitter that breaks
+    quasi-Newton accept tests); the kernels respond by pinning their
+    internal dot precision (``_dot_precision``) and shrinking the streamed
+    chunk (multi-pass f32 matmuls need a larger Mosaic scratch)."""
     prec = jax.config.jax_default_matmul_precision
     return prec is not None and str(prec).lower() in ("highest", "float32")
+
+
+def _dot_precision(dtype):
+    """Per-dot precision for the kernels' internal matmuls.
+
+    * ambient default → None (single-pass bf16 matmuls, the fast path; the
+      first-order rounds that run here never compare loss values).
+    * ambient 'highest' + float32 → the TPINN_HP_DOT policy, default
+      ``highest`` (6-pass f32-exact).  ``high`` selects the 3-pass bf16_3x
+      lowering: ~f32-grade products (~1e-7 relative, 4 orders below the
+      1e-3 bf16 noise the precision context exists to kill) at half the
+      MXU passes — flip the default after on-chip accept-test validation.
+    * float64 → None (XLA's f64 emulation is exact regardless).
+    """
+    if dtype != jnp.float32 or not _high_precision_ambient():
+        return None
+    env = os.environ.get("TPINN_HP_DOT", "highest").lower()
+    return (jax.lax.Precision.HIGH if env == "high"
+            else jax.lax.Precision.HIGHEST)
+
+
+# Per-stream MXU primitives -------------------------------------------------
+
+
+def _dot_fwd(w, s, dtype, prec):
+    """(in, out)ᵀ @ (in, C) -> (out, C): forward-propagate one stream."""
+    return jax.lax.dot_general(
+        w, s, (((0,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=prec,
+    )
+
+
+def _dot_bwd(w, dz, dtype, prec):
+    """(in, out) @ (out, C) -> (in, C): backprop one cotangent stream."""
+    return jax.lax.dot_general(
+        w, dz, (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=prec,
+    )
+
+
+def _dot_gram(s, dz, dtype, prec):
+    """(in, C) × (out, C) -> (in, out): per-layer dW, contracted over lanes."""
+    return jax.lax.dot_general(
+        s, dz, (((1,), (1,)), ((), ())),
+        preferred_element_type=dtype, precision=prec,
+    )
 
 
 def _kernel(x_ref, *refs, dim: int, widths: Sequence[int], np_tile: int):
@@ -112,26 +171,117 @@ def _kernel(x_ref, *refs, dim: int, widths: Sequence[int], np_tile: int):
     hdiag_out[...] = jnp.stack(hdg, axis=-1).transpose(1, 0, 2)
 
 
-def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
+# ---------------------------------------------------------------------------
+# Fused NS-residual kernels (the training hot path)
+# ---------------------------------------------------------------------------
+
+
+def _taylor_streams(ws, bs, xt, *, spatial, d_in, chunk, dtype, prec,
+                    keep_aux: bool):
+    """Per-stream Taylor propagation through the MLP.
+
+    Returns ``(sv, sg, sh, s_layers, aux)`` where (sv, sg, sh) are the final
+    output streams — value (d_out, C), gradient streams per input column,
+    Hessian-diagonal streams per spatial column — and, when ``keep_aux``:
+
+    * ``s_layers[li]`` = the INPUT streams of layer li as (sv, sg, sh)
+      (layer 0's gradient streams are None — they are basis vectors whose
+      dW contribution reduces to a lane-sum, and its Hessian streams are
+      exactly zero);
+    * ``aux[li]`` = (tp, z_g list, z_h list|None) per hidden layer (the
+      value stream v is NOT duplicated here — it is s_layers[li+1][0]).
+    """
+    n_layers = len(ws)
+    n_h = len(spatial)
+    s_layers: list = []
+    aux: list = []
+    sv, sg, sh = xt, None, None
+    for li in range(n_layers):
+        w = ws[li]
+        if keep_aux:
+            s_layers.append((sv, sg, sh))
+        if li == 0:
+            z_v = _dot_fwd(w, sv, dtype, prec)
+            out_w = w.shape[1]
+            # gradient input streams are basis vectors e_k: z_gk = W0[k, :]
+            z_g = [
+                jnp.broadcast_to(w[k : k + 1, :].T, (out_w, chunk))
+                for k in range(d_in)
+            ]
+            z_h = None  # Hessian input streams are exactly zero
+        else:
+            z_v = _dot_fwd(w, sv, dtype, prec)
+            z_g = [_dot_fwd(w, g, dtype, prec) for g in sg]
+            z_h = [_dot_fwd(w, h, dtype, prec) for h in sh]
+        zv = z_v + bs[li].T
+        if li < n_layers - 1:
+            v = jnp.tanh(zv)
+            tp = 1.0 - v * v
+            a = -2.0 * v * tp
+            if keep_aux:
+                aux.append((tp, z_g, z_h))
+            new_h = []
+            for j, pk in enumerate(spatial):
+                hj = a * (z_g[pk] * z_g[pk])
+                if z_h is not None:
+                    hj = hj + tp * z_h[j]
+                new_h.append(hj)
+            sv = v
+            sg = [tp * g for g in z_g]
+            sh = new_h
+        else:
+            if keep_aux:
+                aux.append(None)
+            sv = zv
+            sg = z_g
+            sh = (z_h if z_h is not None
+                  else [jnp.zeros_like(zv) for _ in range(n_h)])
+    return sv, sg, sh, s_layers, aux
+
+
+def _residual_rows(sv, sg, sh, valid, phys, spatial):
+    """(r_mass, r_u, r_v) per-point residual rows from the final streams
+    (masked); shared by the fwd sums and the bwd cotangent assembly."""
+    sx, sy = spatial
+    nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
+    conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
+    timec = phys.get("time", 0.0)
+    val, gx, gy = sv, sg[sx], sg[sy]
+    hx, hy = sh[0], sh[1]
+    r_mass = jnp.where(valid, gx[0] + gy[1], 0.0)
+    U = nv * val[0]
+    V = nv * val[1]
+    moms = []
+    for k in (0, 1):
+        dkx = nv * gx[k]
+        dky = nv * gy[k]
+        lap = nv * (hx[k] + hy[k])
+        dpk = npre * (gx[2] if k == 0 else gy[2])
+        r = conv * (U * dkx + V * dky) - visc * lap + pres * dpk
+        if timec != 0.0:
+            r = r + timec * nv * sg[0][k]  # ∂t stream = gradient column 0
+        moms.append(jnp.where(valid, r * scale, 0.0))
+    return r_mass, moms[0], moms[1]
+
+
+def _residual_kernel(xt_ref, nv_ref, *refs, spatial: Sequence[int],
                      widths: Sequence[int], chunk: int, n_chunks: int,
-                     phys: dict, n_total: int):
+                     phys: dict, prec):
     """Single-instance fused NS-residual kernel (steady OR unsteady).
 
     The (transposed) point batch stays in HBM; a double-buffered DMA
     pipeline streams one (d_in, chunk) lane-chunk at a time into a VMEM
     scratch while the previous chunk computes, so VMEM use is O(chunk) and
     the kernel scales to arbitrarily large point batches.  Each chunk
-    propagates the Taylor streams — [val | g_0 .. g_{d_in-1} | h_x h_y],
-    one gradient stream per input column, Hessian-diagonal streams for the
-    spatial columns only (S = 5 steady, 6 unsteady where column 0 is t) —
-    through the MLP (one (out, in) @ (in, S*chunk) MXU matmul per layer)
-    and accumulates the three squared-residual partial sums in the
-    fori_loop carry.  No grid, no output-block revisiting — the pipeline
-    serialization of a constant-output accumulator block is avoided
-    entirely.  ``spatial`` maps (x, y) to input columns ((0, 1) steady,
-    (1, 2) unsteady, the reference derivative-column convention,
-    cavity_unsteady.py:188); ``phys["time"]`` multiplies the nv·∂t U_k
-    momentum term.
+    propagates the per-stream Taylor bundle (see module docstring) and
+    accumulates the three squared-residual SUMS in the fori_loop carry;
+    rows at or beyond the dynamic valid count (``nv_ref``, an SMEM scalar)
+    are masked to zero, which makes sharded tail padding exact.  No grid,
+    no output-block revisiting — the pipeline serialization of a
+    constant-output accumulator block is avoided entirely.  ``spatial``
+    maps (x, y) to input columns ((0, 1) steady, (1, 2) unsteady, the
+    reference derivative-column convention, cavity_unsteady.py:188);
+    ``phys["time"]`` multiplies the nv·∂t U_k momentum term.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -143,16 +293,11 @@ def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
 
     d_in = widths[0]
     dp = max(d_in, _DP)  # padded feature rows (see _prep_residual_args)
-    n_h = len(spatial)
-    sx, sy = spatial
     dtype = xt_ref.dtype
-    eye = jnp.eye(dp, dtype=dtype)
-    nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
-    conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
-    timec = phys.get("time", 0.0)
 
     ws = [w_refs[i][...] for i in range(n_layers)]
     bs = [b_refs[i][...] for i in range(n_layers)]
+    n_valid = nv_ref[0, 0]  # float32 scalar (exact for counts < 2**24)
 
     def scoped(xbuf, sems):
         def get_dma(slot, c):
@@ -170,7 +315,7 @@ def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
                 get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
             get_dma(slot, c).wait()
-            xt = xbuf[slot]  # (d_in, CH)
+            xt = xbuf[slot]  # (dp, CH)
             return _fwd_chunk(c, xt, acc)
 
         acc = jax.lax.fori_loop(
@@ -184,63 +329,16 @@ def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
         out_ref[...] = out
 
     def _fwd_chunk(c, xt, acc):
-        streams = [xt]
-        for k in range(d_in):
-            streams.append(
-                jnp.broadcast_to(eye[:, k : k + 1], (dp, chunk))
-            )
-        for _ in range(n_h):
-            streams.append(jnp.zeros((dp, chunk), dtype=dtype))
-        s = jnp.concatenate(streams, axis=1)  # (d_in, S*CH)
-
-        for li in range(n_layers):
-            z = jax.lax.dot_general(
-                ws[li], s, (((0,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-            )
-            zv = z[:, :chunk] + bs[li].T
-            if li < n_layers - 1:
-                v = jnp.tanh(zv)
-                tp = 1.0 - v * v
-                new = [v]
-                for k in range(d_in):
-                    gz = z[:, (1 + k) * chunk : (2 + k) * chunk]
-                    new.append(tp * gz)
-                for j, pk in enumerate(spatial):
-                    gz = z[:, (1 + pk) * chunk : (2 + pk) * chunk]
-                    hz = z[:, (1 + d_in + j) * chunk
-                           : (2 + d_in + j) * chunk]
-                    new.append(-2.0 * v * tp * gz * gz + tp * hz)
-                s = jnp.concatenate(new, axis=1)
-            else:
-                s = jnp.concatenate([zv, z[:, chunk:]], axis=1)
-
-        val = s[:, :chunk]
-        gx = s[:, (1 + sx) * chunk : (2 + sx) * chunk]
-        gy = s[:, (1 + sy) * chunk : (2 + sy) * chunk]
-        hx = s[:, (1 + d_in) * chunk : (2 + d_in) * chunk]
-        hy = s[:, (2 + d_in) * chunk : (3 + d_in) * chunk]
-        gt = s[:, chunk : 2 * chunk]  # ∂t stream (column 0; unsteady only)
-
+        sv, sg, sh, _, _ = _taylor_streams(
+            ws, bs, xt, spatial=spatial, d_in=d_in, chunk=chunk,
+            dtype=dtype, prec=prec, keep_aux=False,
+        )
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)[0]
-        valid = (lane + c * chunk) < n_total
-
-        r_mass = jnp.where(valid, gx[0] + gy[1], 0.0)
-        U = nv * val[0]
-        V = nv * val[1]
-        pm = jnp.sum(r_mass * r_mass)
-        moms = []
-        for k in (0, 1):
-            dkx = nv * gx[k]
-            dky = nv * gy[k]
-            lap = nv * (hx[k] + hy[k])
-            dpk = npre * (gx[2] if k == 0 else gy[2])
-            r = conv * (U * dkx + V * dky) - visc * lap + pres * dpk
-            if timec != 0.0:
-                r = r + timec * nv * gt[k]
-            r = jnp.where(valid, r * scale, 0.0)
-            moms.append(jnp.sum(r * r))
-        return acc + jnp.stack([pm, moms[0], moms[1]])
+        valid = (lane + c * chunk).astype(jnp.float32) < n_valid
+        r_mass, r_u, r_v = _residual_rows(sv, sg, sh, valid, phys, spatial)
+        return acc + jnp.stack([
+            jnp.sum(r_mass * r_mass), jnp.sum(r_u * r_u), jnp.sum(r_v * r_v)
+        ])
 
     pl.run_scoped(
         scoped,
@@ -249,16 +347,17 @@ def _residual_kernel(xt_ref, *refs, spatial: Sequence[int],
     )
 
 
-def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
+def _residual_bwd_kernel(xt_ref, nv_ref, *refs, spatial: Sequence[int],
                          widths: Sequence[int], chunk: int, n_chunks: int,
-                         phys: dict, n_total: int):
+                         phys: dict, n_mean: int, prec):
     """Backward of the fused NS-residual MSEs w.r.t. the MLP parameters.
 
-    One pass per chunk: recompute the Taylor streams layer by layer
-    (storing per-layer inputs + activation auxiliaries), form the residual
-    cotangents from the incoming (3,) MSE cotangents, and walk the layers in
-    reverse accumulating dW/db in the fori_loop carry.  Gradients w.r.t. the
-    collocation points are NOT produced (training never needs them).
+    One pass per chunk: recompute the per-stream Taylor bundle (keeping the
+    per-layer input streams and the pre-activation gradient/Hessian streams
+    as auxiliaries), form the residual cotangents from the incoming (3,)
+    MSE cotangents, and walk the layers in reverse accumulating dW/db in
+    the fori_loop carry.  Gradients w.r.t. the collocation points are NOT
+    produced (training never needs them).
 
     The three raw squared-residual SUMS are accumulated alongside and
     written to a final (8, 128) output block — they come for free (the
@@ -268,6 +367,17 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
     raw MSE components, AND the parameter gradients in a single launch,
     replacing the fwd+bwd pair (4 propagation units -> 3, one HBM stream
     of the batch instead of two).  See ``ns_residual_weighted_obj``.
+
+    dW accumulates PER LAYER per stream ((in, C) × (out, C) lane
+    contractions).  Round 3 packed all layers into one (Σin, Σout) Gram to
+    quarter the MXU passes, but the measured train kernel ran at barely a
+    third of its MXU-pass bound — the binding costs were the lane-axis
+    concatenates and the stored-stream VMEM traffic, both of which the
+    per-stream layout eliminates, and the packed Gram's O(Σin·Σout) carry
+    grew quadratically with depth (round-3 advisor finding).  The MSE
+    cotangents are scaled by 2/``n_mean`` (the STATIC global denominator),
+    so per-shard dW psums compose exactly under a mesh; row masking uses
+    the dynamic valid count like the forward kernel.
 
     Stream layout and ``spatial``/``phys["time"]`` semantics match
     :func:`_residual_kernel` (steady 5 streams / unsteady 6).  Like the
@@ -292,7 +402,6 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
     n_h = len(spatial)
     sx, sy = spatial
     dtype = xt_ref.dtype
-    eye = jnp.eye(dp, dtype=dtype)
     nv, npre, scale = phys["nv"], phys["npre"], phys["scale"]
     conv, visc, pres = phys["conv"], phys["visc"], phys["pres"]
     timec = phys.get("time", 0.0)
@@ -301,6 +410,7 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
     bs = [b_refs[i][...] for i in range(n_layers)]
     gbar = gbar_ref[...]
     g_cot = [gbar[0, j] for j in range(3)]  # mass, mom-u, mom-v cotangents
+    n_valid = nv_ref[0, 0]
 
     def scoped(xbuf, sems):
         def get_dma(slot, c):
@@ -321,13 +431,10 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
             return _bwd_chunk(c, xbuf[slot], carry)
 
         acc = jax.lax.fori_loop(0, n_chunks, body, init)
-        gram = acc[0]  # packed (Σ in_li, Σ out_li) dW Gram — see _bwd_chunk
         for i in range(n_layers):
-            dw_refs[i][...] = gram[
-                row_off[i] : row_off[i + 1], col_off[i] : col_off[i + 1]
-            ]
-            db_refs[i][...] = acc[1 + i]
-        sq = acc[1 + n_layers]  # (3,) squared-residual sums
+            dw_refs[i][...] = acc[i]
+            db_refs[i][...] = acc[n_layers + i]
+        sq = acc[2 * n_layers]  # (3,) squared-residual sums
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         out = jnp.zeros((8, 128), dtype=dtype)
@@ -336,52 +443,23 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
         mse_ref[...] = out
 
     def _bwd_chunk(c, xt, carry):
-        streams = [xt]
-        for k in range(d_in):
-            streams.append(jnp.broadcast_to(eye[:, k : k + 1], (dp, chunk)))
-        for _ in range(n_h):
-            streams.append(jnp.zeros((dp, chunk), dtype=dtype))
-        s = jnp.concatenate(streams, axis=1)
+        grams = list(carry[:n_layers])
+        dbs = list(carry[n_layers : 2 * n_layers])
+        sq = carry[2 * n_layers]
 
-        s_list = [s]  # layer inputs
-        aux = []  # per hidden layer: (v, tp, gz list, hz list)
-        for li in range(n_layers):
-            z = jax.lax.dot_general(
-                ws[li], s_list[-1], (((0,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-            )
-            zv = z[:, :chunk] + bs[li].T
-            if li < n_layers - 1:
-                v = jnp.tanh(zv)
-                tp = 1.0 - v * v
-                gz = [z[:, (1 + k) * chunk : (2 + k) * chunk]
-                      for k in range(d_in)]
-                hz = [z[:, (1 + d_in + j) * chunk : (2 + d_in + j) * chunk]
-                      for j in range(n_h)]
-                new = [v]
-                for k in range(d_in):
-                    new.append(tp * gz[k])
-                for j, pk in enumerate(spatial):
-                    new.append(-2.0 * v * tp * gz[pk] * gz[pk] + tp * hz[j])
-                aux.append((v, tp, gz, hz))
-                s_list.append(jnp.concatenate(new, axis=1))
-            else:
-                aux.append(None)
-                s_list.append(jnp.concatenate([zv, z[:, chunk:]], axis=1))
-
-        sL = s_list[-1]
-        val = sL[:, :chunk]
-        gx = sL[:, (1 + sx) * chunk : (2 + sx) * chunk]
-        gy = sL[:, (1 + sy) * chunk : (2 + sy) * chunk]
-        hx = sL[:, (1 + d_in) * chunk : (2 + d_in) * chunk]
-        hy = sL[:, (2 + d_in) * chunk : (3 + d_in) * chunk]
-        gt = sL[:, chunk : 2 * chunk]  # ∂t stream (col 0; unsteady only)
+        sv, sg, sh, s_layers, aux = _taylor_streams(
+            ws, bs, xt, spatial=spatial, d_in=d_in, chunk=chunk,
+            dtype=dtype, prec=prec, keep_aux=True,
+        )
+        val, gx, gy = sv, sg[sx], sg[sy]
+        hx, hy = sh[0], sh[1]
+        gt = sg[0]  # ∂t stream (column 0; unsteady only)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)[0]
-        valid = (lane + c * chunk) < n_total
+        valid = (lane + c * chunk).astype(jnp.float32) < n_valid
 
         # residuals (same as forward) and per-point cotangents c_* = ḡ·2r/n
-        two_over_n = jnp.asarray(2.0 / n_total, dtype=dtype)
+        two_over_n = jnp.asarray(2.0 / n_mean, dtype=dtype)
         r_mass = jnp.where(valid, gx[0] + gy[1], 0.0)
         c_m = g_cot[0] * two_over_n * r_mass
 
@@ -424,8 +502,8 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
                 c_k[1] * (pres * npre),
             ]
         )
-        dhx = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
-        dhy = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
+        # the two Hessian-stream cotangents are identical: −c_k·visc·nv
+        dh = jnp.stack([-c_k[0] * visc * nv, -c_k[1] * visc * nv, zero])
 
         dg_by_col = {sx: dgx, sy: dgy}
         if timec != 0.0:
@@ -433,79 +511,71 @@ def _residual_bwd_kernel(xt_ref, *refs, spatial: Sequence[int],
                 [c_k[0] * (timec * nv), c_k[1] * (timec * nv), zero]
             )
         zero3 = jnp.zeros((3, chunk), dtype=dtype)
-        ds = jnp.concatenate(
-            [dval]
-            + [dg_by_col.get(k, zero3) for k in range(d_in)]
-            + [dhx, dhy],
-            axis=1,
-        )  # (3, S·CH)
+        ds_v = dval
+        ds_g = [dg_by_col.get(k, zero3) for k in range(d_in)]
+        ds_h = [dh, dh]
 
-        dbs = list(carry[1 : 1 + n_layers])
-        sq = carry[1 + n_layers] + jnp.stack(sq_parts)
-        dz_list = [None] * n_layers
         for li in range(n_layers - 1, -1, -1):
             if li == n_layers - 1:
-                dz = ds
+                dz_v, dz_g, dz_h = ds_v, ds_g, ds_h
             else:
-                v, tp, gz, hz = aux[li]
-                dv_ = ds[:, :chunk]
-                dG = [ds[:, (1 + k) * chunk : (2 + k) * chunk]
-                      for k in range(d_in)]
-                dH = [ds[:, (1 + d_in + j) * chunk : (2 + d_in + j) * chunk]
-                      for j in range(n_h)]
-                dz_v = dv_ * tp
+                tp, zg, zh = aux[li]
+                v = s_layers[li + 1][0]  # this layer's activation output
+                a = -2.0 * v * tp
+                b2 = -2.0 * tp * (tp - 2.0 * v * v)
+                dz_v = ds_v * tp
                 for k in range(d_in):
-                    dz_v = dz_v + dG[k] * (-2.0 * v * tp * gz[k])
+                    dz_v = dz_v + ds_g[k] * (a * zg[k])
                 for j, pk in enumerate(spatial):
-                    dz_v = dz_v + dH[j] * (
-                        -2.0 * tp * (tp - 2.0 * v * v) * gz[pk] * gz[pk]
-                        - 2.0 * v * tp * hz[j]
-                    )
-                dz_parts = [dz_v]
+                    hterm = b2 * (zg[pk] * zg[pk])
+                    if zh is not None:
+                        hterm = hterm + a * zh[j]
+                    dz_v = dz_v + ds_h[j] * hterm
+                dz_g = []
                 for k in range(d_in):
-                    part = dG[k] * tp
+                    part = ds_g[k] * tp
                     for j, pk in enumerate(spatial):
                         if pk == k:
-                            part = part + dH[j] * (-4.0 * v * tp * gz[k])
-                    dz_parts.append(part)
-                for j in range(n_h):
-                    dz_parts.append(dH[j] * tp)
-                dz = jnp.concatenate(dz_parts, axis=1)
+                            part = part + ds_h[j] * (2.0 * a * zg[k])
+                    dz_g.append(part)
+                dz_h = [ds_h[j] * tp for j in range(n_h)]
             # bias feeds the value stream only
-            dbs[li] = dbs[li] + jnp.sum(dz[:, :chunk], axis=1)[None, :]
-            dz_list[li] = dz
+            dbs[li] = dbs[li] + jnp.sum(dz_v, axis=1)[None, :]
+            sv_i, sg_i, sh_i = s_layers[li]
+            if li == 0:
+                # layer 0: value stream is the batch itself; each gradient
+                # stream is a basis vector e_k, so its dW block is
+                # e_k ⊗ Σ_lanes dz_gk (a lane-sum, no matmul); the Hessian
+                # input streams are exactly zero (no contribution).
+                g = _dot_gram(sv_i, dz_v, dtype, prec)
+                rid = jax.lax.broadcasted_iota(
+                    jnp.int32, (dp, widths[1]), 0
+                )
+                for k in range(d_in):
+                    g = g + jnp.where(
+                        rid == k, jnp.sum(dz_g[k], axis=1)[None, :], 0.0
+                    )
+            else:
+                g = _dot_gram(sv_i, dz_v, dtype, prec)
+                for k in range(d_in):
+                    g = g + _dot_gram(sg_i[k], dz_g[k], dtype, prec)
+                for j in range(n_h):
+                    g = g + _dot_gram(sh_i[j], dz_h[j], dtype, prec)
+            grams[li] = grams[li] + g
             if li > 0:
                 # layer 0's input gradient is never used (training never
                 # differentiates w.r.t. the collocation points) — skip it.
-                ds = jax.lax.dot_general(
-                    ws[li], dz, (((1,), (0,)), ((), ())),
-                    preferred_element_type=dtype,
-                )
-        # ONE packed dW contraction per chunk: the per-layer dW matmuls have
-        # tiny (in_li, out_li) output tiles (32×32 ≪ the 128×128 MXU), so
-        # four separate long-K matmuls waste ~4× the MXU passes.  Stacking
-        # the layer inputs (Σ in_li = 104 rows for the standard 3×32 net)
-        # against the stacked dz cotangents (Σ out_li = 99 rows) fills one
-        # MXU tile; the per-layer dW blocks are the diagonal of the Gram,
-        # sliced out once after the chunk loop.
-        s_cat = jnp.concatenate(s_list[:n_layers], axis=0)
-        dz_cat = jnp.concatenate(dz_list, axis=0)
-        gram = carry[0] + jax.lax.dot_general(
-            s_cat, dz_cat, (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype,
-        )
-        return (gram,) + tuple(dbs) + (sq,)
+                ds_v = _dot_bwd(ws[li], dz_v, dtype, prec)
+                ds_g = [_dot_bwd(ws[li], z, dtype, prec) for z in dz_g]
+                ds_h = [_dot_bwd(ws[li], z, dtype, prec) for z in dz_h]
+        sq = sq + jnp.stack(sq_parts)
+        return tuple(grams) + tuple(dbs) + (sq,)
 
     in_dims = [dp] + [widths[i] for i in range(1, n_layers)]
     out_dims = [widths[i + 1] for i in range(n_layers)]
-    row_off = [0]
-    for d in in_dims:
-        row_off.append(row_off[-1] + d)
-    col_off = [0]
-    for d in out_dims:
-        col_off.append(col_off[-1] + d)
-    init = (
-        jnp.zeros((row_off[-1], col_off[-1]), dtype=dtype),
+    init = tuple(
+        jnp.zeros((in_dims[i], out_dims[i]), dtype=dtype)
+        for i in range(n_layers)
     ) + tuple(
         jnp.zeros((1, widths[i + 1]), dtype=dtype) for i in range(n_layers)
     ) + (jnp.zeros((3,), dtype=dtype),)
@@ -524,6 +594,52 @@ _DP = 8  # padded feature rows: the HBM-streamed (n_chunks, d_in, chunk)
 # no in-kernel slicing; the padded rows are exact zeros so the first-layer
 # matmul is unchanged.
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # stream working-set budget (of ~16 MB VMEM)
+_HP_VMEM_BUDGET = 6 * 1024 * 1024  # multi-pass f32 matmul scratch is 4-6×
+
+
+def _bwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
+    """VMEM-budget-derived cap for the streamed bwd chunk.
+
+    Round-3 advisor finding: the old fixed 512/2048 cap ignored how the
+    stored-stream footprint scales with width/depth, silently risking the
+    ~16 MB VMEM on deeper/wider nets.  Live bytes per chunk lane:
+
+    * the per-layer input streams kept for the dW contractions
+      (S = 1 + d_in + n_h streams × every layer's input width; layer 0's
+      gradient/Hessian streams are virtual — basis vectors and zeros);
+    * the activation auxiliaries per hidden layer (tp + one pre-activation
+      gradient stream per input column + one Hessian stream per spatial
+      column);
+    * two generations of transient dz/ds streams during the reverse walk;
+    * the double-buffered (2, dp, chunk) input scratch.
+    """
+    S = 1 + d_in + n_h
+    dp = max(widths[0], _DP)
+    hidden = list(widths[1:-1])
+    per_lane = dp + S * sum(hidden)            # stored layer-input streams
+    per_lane += sum((1 + d_in + n_h) * w for w in hidden)  # tp, zg, zh
+    per_lane += 2 * S * max(widths[1:])        # transient dz/ds streams
+    per_lane += 2 * dp                         # xbuf double buffer
+    bytes_per_lane = per_lane * jnp.dtype(dtype).itemsize
+    budget = (_HP_VMEM_BUDGET if _high_precision_ambient()
+              else _VMEM_BUDGET)
+    cap = int(budget // bytes_per_lane) // 256 * 256
+    return max(256, min(cap, np_tile))
+
+
+def _fwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
+    """Forward kernel cap: only two stream generations are live at a time
+    (no stored layers), so the cap is far looser than the backward's."""
+    S = 1 + d_in + n_h
+    dp = max(widths[0], _DP)
+    per_lane = 2 * S * max(widths[1:]) + 3 * dp
+    bytes_per_lane = per_lane * jnp.dtype(dtype).itemsize
+    budget = (_HP_VMEM_BUDGET if _high_precision_ambient()
+              else _VMEM_BUDGET)
+    cap = int(budget // bytes_per_lane) // 256 * 256
+    return max(256, min(cap, np_tile))
+
 
 def _prep_residual_args(params, x, chunk, expect_d_in):
     """Shared layout prep: pad features to _DP rows + points to a chunk
@@ -537,6 +653,10 @@ def _prep_residual_args(params, x, chunk, expect_d_in):
             f"ns_residual_mse: input has d_in={d_in} columns but "
             f"expected {expect_d_in} ({'unsteady (t,x,y)' if expect_d_in == 3 else 'steady (x,y)'})"
         )
+    if n >= 2 ** 24:
+        # the dynamic valid count rides an f32 SMEM scalar (exact for
+        # integers below 2**24); the masks would silently break past it
+        raise ValueError(f"batch of {n} points exceeds the 2**24 mask range")
     widths = [int(p["kernel"].shape[0]) for p in params] + [
         int(params[-1]["kernel"].shape[1])
     ]
@@ -569,59 +689,78 @@ def _phys_layout(phys):
     return (0, 1), 2
 
 
-def _ns_mse_forward(params, x, phys, chunk, interpret):
+def _ns_mse_forward(params, x, n_valid, phys, chunk, interpret, n_mean):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if _high_precision_ambient():
-        chunk = min(chunk, 512)
     spatial, expect_d_in = _phys_layout(phys)
+    probe_widths = [int(p["kernel"].shape[0]) for p in params] + [
+        int(params[-1]["kernel"].shape[1])
+    ]
+    chunk = _fwd_chunk_cap(probe_widths, expect_d_in, len(spatial), chunk,
+                           jnp.asarray(x).dtype)
     xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
         params, x, chunk, expect_d_in
     )
+    if n_mean is None:
+        n_mean = n
+    nv = jnp.asarray(n if n_valid is None else n_valid,
+                     jnp.float32).reshape(1, 1)
     kernel = functools.partial(
         _residual_kernel, spatial=spatial, widths=widths, chunk=chunk,
-        n_chunks=xt.shape[0], phys=dict(phys), n_total=n,
+        n_chunks=xt.shape[0], phys=dict(phys), prec=_dot_precision(dtype),
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] + [
-        pl.BlockSpec(memory_space=pltpu.VMEM)
-    ] * (2 * len(w_args))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * len(w_args))
     acc = pl.pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), dtype),
         interpret=interpret,
-    )(xt, *w_args, *b_args)
-    return acc[0, :3] / n
+    )(xt, nv, *w_args, *b_args)
+    return acc[0, :3] / n_mean
 
 
-def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
+def _ns_mse_backward(params, x, gbar, n_valid, phys, chunk, interpret,
+                     n_mean):
     """(dparams, mses): parameter cotangents for the given (3,) MSE
     cotangents, plus the raw MSE values (accumulated in the same pass)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # The backward pass stores per-layer streams + activation auxiliaries for
-    # the whole chunk (~4.5 KB/point at width 32); cap the chunk so the
-    # working set stays inside the ~16 MB scoped VMEM budget.  The batch
-    # itself streams from HBM, so this cap is independent of batch size.
-    chunk = min(chunk, 512 if _high_precision_ambient() else 2048)
     spatial, expect_d_in = _phys_layout(phys)
+    # the bwd pass stores per-layer streams + activation auxiliaries for
+    # the whole chunk; cap it from the actual widths so the working set
+    # stays inside the scoped VMEM budget (the batch itself streams from
+    # HBM, so the cap is independent of batch size)
+    probe_widths = [int(p["kernel"].shape[0]) for p in params] + [
+        int(params[-1]["kernel"].shape[1])
+    ]
+    chunk = _bwd_chunk_cap(probe_widths, expect_d_in, len(spatial), chunk,
+                           jnp.asarray(x).dtype)
     xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
         params, x, chunk, expect_d_in
     )
+    if n_mean is None:
+        n_mean = n
+    nv = jnp.asarray(n if n_valid is None else n_valid,
+                     jnp.float32).reshape(1, 1)
     n_layers = len(w_args)
     kernel = functools.partial(
         _residual_bwd_kernel, spatial=spatial, widths=widths, chunk=chunk,
-        n_chunks=xt.shape[0], phys=dict(phys), n_total=n,
+        n_chunks=xt.shape[0], phys=dict(phys), n_mean=int(n_mean),
+        prec=_dot_precision(dtype),
     )
     gpad = jnp.zeros((8, 128), dtype=dtype).at[0, :3].set(
         jnp.asarray(gbar, dtype=dtype)
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] + [
-        pl.BlockSpec(memory_space=pltpu.VMEM)
-    ] * (1 + 2 * n_layers)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * n_layers)
     dp = max(widths[0], _DP)
     out_shape = [
         jax.ShapeDtypeStruct((dp if i == 0 else widths[i], widths[i + 1]),
@@ -638,33 +777,38 @@ def _ns_mse_backward(params, x, gbar, phys, chunk, interpret):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(xt, *w_args, *b_args, gpad)
+    )(xt, nv, *w_args, *b_args, gpad)
     dparams = [
         {"kernel": outs[i][: widths[i]], "bias": outs[n_layers + i][0]}
         for i in range(n_layers)
     ]
-    mses = outs[2 * n_layers][0, :3] / n
+    mses = outs[2 * n_layers][0, :3] / n_mean
     return dparams, mses
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _ns_mse_prim(params, x, phys_items, chunk, interpret):
-    return _ns_mse_forward(params, x, dict(phys_items), chunk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ns_mse_prim(params, x, n_valid, phys_items, chunk, interpret, n_mean):
+    return _ns_mse_forward(params, x, n_valid, dict(phys_items), chunk,
+                           interpret, n_mean)
 
 
-def _ns_mse_fwd(params, x, phys_items, chunk, interpret):
-    out = _ns_mse_forward(params, x, dict(phys_items), chunk, interpret)
-    return out, (params, x)
+def _ns_mse_fwd(params, x, n_valid, phys_items, chunk, interpret, n_mean):
+    out = _ns_mse_forward(params, x, n_valid, dict(phys_items), chunk,
+                          interpret, n_mean)
+    return out, (params, x, n_valid)
 
 
-def _ns_mse_bwd(phys_items, chunk, interpret, res, gbar):
-    params, x = res
+def _ns_mse_bwd(phys_items, chunk, interpret, n_mean, res, gbar):
+    params, x, n_valid = res
     dparams, _ = _ns_mse_backward(
-        params, x, gbar, dict(phys_items), chunk, interpret
+        params, x, gbar, n_valid, dict(phys_items), chunk, interpret, n_mean
     )
     # no gradient w.r.t. the collocation points (never needed in training;
-    # a zero cotangent keeps custom_vjp's signature satisfied)
-    return dparams, jnp.zeros_like(jnp.asarray(x))
+    # a zero cotangent keeps custom_vjp's signature satisfied) nor w.r.t.
+    # the valid-count scalar
+    return dparams, jnp.zeros_like(jnp.asarray(x)), jnp.zeros_like(
+        jnp.asarray(n_valid, jnp.float32)
+    )
 
 
 _ns_mse_prim.defvjp(_ns_mse_fwd, _ns_mse_bwd)
@@ -675,35 +819,42 @@ _ns_mse_prim.defvjp(_ns_mse_fwd, _ns_mse_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _ns_wobj_prim(params, x, weights, phys_items, chunk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ns_wobj_prim(params, x, n_valid, weights, phys_items, chunk, interpret,
+                  n_mean):
     _, mses = _ns_mse_backward(
-        params, x, jnp.asarray(weights), dict(phys_items), chunk, interpret
+        params, x, jnp.asarray(weights), n_valid, dict(phys_items), chunk,
+        interpret, n_mean,
     )
     w = jnp.asarray(weights, mses.dtype)
     return jnp.dot(w, mses), mses
 
 
-def _ns_wobj_fwd(params, x, weights, phys_items, chunk, interpret):
+def _ns_wobj_fwd(params, x, n_valid, weights, phys_items, chunk, interpret,
+                 n_mean):
     dparams, mses = _ns_mse_backward(
-        params, x, jnp.asarray(weights), dict(phys_items), chunk, interpret
+        params, x, jnp.asarray(weights), n_valid, dict(phys_items), chunk,
+        interpret, n_mean,
     )
     w = jnp.asarray(weights, mses.dtype)
-    return (jnp.dot(w, mses), mses), (dparams, x)
+    return (jnp.dot(w, mses), mses), (dparams, x, n_valid)
 
 
-def _ns_wobj_bwd(weights, phys_items, chunk, interpret, res, cts):
-    dparams, x = res
+def _ns_wobj_bwd(weights, phys_items, chunk, interpret, n_mean, res, cts):
+    dparams, x, n_valid = res
     g_loss, _g_mses = cts  # mses are LOG-ONLY: their cotangent is dropped
     scaled = jax.tree_util.tree_map(lambda a: g_loss * a, dparams)
-    return scaled, jnp.zeros_like(jnp.asarray(x))
+    return scaled, jnp.zeros_like(jnp.asarray(x)), jnp.zeros_like(
+        jnp.asarray(n_valid, jnp.float32)
+    )
 
 
 _ns_wobj_prim.defvjp(_ns_wobj_fwd, _ns_wobj_bwd)
 
 
 def ns_residual_weighted_obj(params, x, physics, norm, weights,
-                             np_tile: int = 4096, interpret: bool = False):
+                             np_tile: int = 4096, interpret: bool = False,
+                             n_valid=None, n_mean=None):
     """(weighted_loss, (mse_mass, mse_u, mse_v)) in ONE kernel launch.
 
     ``weighted_loss = w·mses`` is differentiable w.r.t. ``params`` at zero
@@ -715,6 +866,12 @@ def ns_residual_weighted_obj(params, x, physics, norm, weights,
     (4 propagation units and two HBM streams of the batch -> 3 units, one
     stream, one launch).
 
+    ``n_valid`` (traced scalar, default = len(x)) masks tail padding rows;
+    ``n_mean`` (static int, default = len(x)) is the mean denominator —
+    under a mesh each shard passes its local valid count with the GLOBAL
+    denominator, and the psum of per-shard results is the exact global
+    objective for any batch length (tpinn.sharding.sharded_ns_weighted_obj).
+
     CONTRACT: the returned ``mses`` are for LOGGING ONLY — their cotangent
     is dropped by the VJP.  Wrap them in ``lax.stop_gradient`` at the call
     site (tpinn.pipeline.FusedNSWeightedObjective does)."""
@@ -725,12 +882,15 @@ def ns_residual_weighted_obj(params, x, physics, norm, weights,
         ("pres", float(physics.pres)), ("time", float(physics.time)),
     )
     w = tuple(float(v) for v in weights)
-    return _ns_wobj_prim(params, x, w, phys_items, int(np_tile),
-                         bool(interpret))
+    n = int(jnp.shape(x)[0])
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.float32)
+    return _ns_wobj_prim(params, x, nv, w, phys_items, int(np_tile),
+                         bool(interpret),
+                         int(n if n_mean is None else n_mean))
 
 
 def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
-                    interpret: bool = False):
+                    interpret: bool = False, n_valid=None, n_mean=None):
     """(mse_mass, mse_u, mse_v) for the 2-D NS residual, steady or unsteady
     — one fused Pallas kernel with an in-kernel chunk loop and reduction,
     differentiable w.r.t. ``params`` via a hand-written backward kernel
@@ -738,15 +898,21 @@ def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
     accumulates dW/db per chunk).  When ``physics.time != 0`` the batch is
     (t, x, y) with column 0 = t (the reference derivative-column
     convention, cavity_unsteady.py:188) and the momentum residual gains the
-    a_t·nv·∂t U_k term.  Gradients w.r.t. ``x`` are defined as zero —
-    training never differentiates the loss w.r.t. collocation points."""
+    a_t·nv·∂t U_k term.  ``n_valid``/``n_mean`` as in
+    :func:`ns_residual_weighted_obj` (exact-mean masking for sharded tail
+    padding).  Gradients w.r.t. ``x`` are defined as zero — training never
+    differentiates the loss w.r.t. collocation points."""
     phys_items = (
         ("nv", float(norm.norm_vel)), ("npre", float(norm.norm_pre)),
         ("scale", float(norm.residual_scale)),
         ("conv", float(physics.conv)), ("visc", float(physics.visc)),
         ("pres", float(physics.pres)), ("time", float(physics.time)),
     )
-    return _ns_mse_prim(params, x, phys_items, int(np_tile), bool(interpret))
+    n = int(jnp.shape(x)[0])
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.float32)
+    return _ns_mse_prim(params, x, nv, phys_items, int(np_tile),
+                        bool(interpret),
+                        int(n if n_mean is None else n_mean))
 
 
 def mlp_taylor_bundle(

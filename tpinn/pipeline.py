@@ -124,13 +124,18 @@ class FusedNSResidualMSEs:
     """
 
     def __init__(self, model: Model, x, physics: "NSPhysics",
-                 norm: Normalization, np_tile: int = 4096, mesh=None):
+                 norm: Normalization, np_tile: int = 4096, mesh=None,
+                 n_true: Optional[int] = None):
         self.model = model
         self.x = x
         self.physics = physics
         self.norm = norm
         self.np_tile = np_tile
         self.mesh = mesh  # multi-chip: shard_map over the points axis
+        # true (pre-padding) row count: under a mesh the batch may carry
+        # tail padding up to the device count; the kernels mask it and use
+        # n_true as the mean denominator, so the sharded MSE is exact
+        self.n_true = int(x.shape[0]) if n_true is None else int(n_true)
         self._memo = None  # (params_leaf_ref, mses)
 
     def mses(self):
@@ -149,11 +154,13 @@ class FusedNSResidualMSEs:
             m = sharded_ns_residual_mse(
                 params, self.x, self.physics, self.norm, self.mesh,
                 np_tile=self.np_tile, interpret=interpret,
+                n_true=self.n_true,
             )
         else:
             m = ns_residual_mse(
                 params, self.x, self.physics, self.norm,
                 np_tile=self.np_tile, interpret=interpret,
+                n_valid=self.n_true, n_mean=self.n_true,
             )
         self._memo = (leaf, m)
         return m
@@ -186,7 +193,7 @@ class FusedNSWeightedObjective:
 
     def __init__(self, model: Model, x, physics: "NSPhysics",
                  norm: Normalization, weights, np_tile: int = 4096,
-                 mesh=None):
+                 mesh=None, n_true: Optional[int] = None):
         self.model = model
         self.x = x
         self.physics = physics
@@ -194,6 +201,8 @@ class FusedNSWeightedObjective:
         self.weights = tuple(float(w) for w in weights)
         self.np_tile = np_tile
         self.mesh = mesh  # multi-chip: shard_map over the points axis
+        # see FusedNSResidualMSEs.n_true (exact-mean masking of padding)
+        self.n_true = int(x.shape[0]) if n_true is None else int(n_true)
         self._memo = None
 
     def _compute(self):
@@ -208,6 +217,7 @@ class FusedNSWeightedObjective:
             out = sharded_ns_weighted_obj(
                 params, self.x, self.physics, self.norm, self.weights,
                 self.mesh, np_tile=self.np_tile, interpret=interpret,
+                n_true=self.n_true,
             )
         else:
             from tpinn.pallas import ns_residual_weighted_obj
@@ -215,6 +225,7 @@ class FusedNSWeightedObjective:
             out = ns_residual_weighted_obj(
                 params, self.x, self.physics, self.norm, self.weights,
                 np_tile=self.np_tile, interpret=interpret,
+                n_valid=self.n_true, n_mean=self.n_true,
             )
         self._memo = (leaf, out)
         return out
@@ -439,3 +450,18 @@ def dirichlet_point_residual(model: Model, component: int):
         return model.apply(params, xi[None, :])[0, component] - rhs_i
 
     return fn
+
+
+def scaled_point_residual(fn):
+    """Wrap a point-residual fn(params, *rows) to take a trailing
+    mask-scale row (tpinn.sharding.shard_pair's exactness protocol: rows
+    are scaled by sqrt(n_pad/n) and padding rows by 0, so the mean over the
+    padded batch equals the original mean exactly).  This keeps the LM
+    per-point Gram available under a device mesh: a zero-scaled padding row
+    has zero residual AND zero parameter gradient, so it contributes
+    nothing to JᵀJ / JᵀR."""
+
+    def wrapped(params, *rows):
+        return fn(params, *rows[:-1]) * rows[-1]
+
+    return wrapped

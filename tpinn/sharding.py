@@ -129,17 +129,30 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
 
 
-def sharded_ns_residual_mse(params, x, physics, norm, mesh: Mesh,
-                            np_tile: int = 4096, interpret: bool = False):
-    """Multi-chip fused NS-residual MSEs: each device runs the Pallas kernel
-    (tpinn.pallas.ns_residual_mse) on its local point shard, and a single
-    ``pmean`` over the point axis combines the per-shard MSEs — equal shards
-    make the mean of local means the exact global MSE.  Gradients compose:
-    shard_map transposes the pmean into a cotangent split and psums the
-    replicated-parameter gradients over ICI.
+def _local_valid_count(n_true: int, per_shard: int):
+    """Valid-row count of THIS shard (inside shard_map): shard i holds rows
+    [i·per, (i+1)·per); tail padding lives at the end, so the count is
+    clip(n_true − i·per, 0, per).  f32 (the kernels' SMEM mask scalar)."""
+    i = jax.lax.axis_index(POINT_AXIS)
+    return jnp.clip(n_true - i * per_shard, 0, per_shard).astype(jnp.float32)
 
-    ``x`` must divide the mesh ('points' axis); use :func:`shard_points`
-    (which pads) to place it.
+
+def sharded_ns_residual_mse(params, x, physics, norm, mesh: Mesh,
+                            np_tile: int = 4096, interpret: bool = False,
+                            n_true: Optional[int] = None):
+    """Multi-chip fused NS-residual MSEs: each device runs the Pallas kernel
+    (tpinn.pallas.ns_residual_mse) on its local point shard with its local
+    valid-row count and the GLOBAL mean denominator, and a single ``psum``
+    over the point axis combines the per-shard sums — the result is the
+    EXACT global MSE for any batch length (tail padding rows are masked
+    inside the kernel, round 4; earlier rounds repeat-padded, which
+    perturbed the objective).  Gradients compose: shard_map transposes the
+    psum into a cotangent split and psums the replicated-parameter
+    gradients over ICI.
+
+    ``x`` must divide the mesh ('points' axis) — pad with
+    :func:`shard_points` and pass the TRUE row count as ``n_true``
+    (default: all rows valid).
     """
     from tpinn.pallas.mlp_bundle import ns_residual_mse
 
@@ -150,11 +163,15 @@ def sharded_ns_residual_mse(params, x, physics, norm, mesh: Mesh,
             f"point count {n} does not divide the {n_dev}-device mesh; "
             "pad with shard_points first"
         )
+    n_true = n if n_true is None else int(n_true)
+    per = n // n_dev
 
     def local(p, xl):
         m = ns_residual_mse(p, xl, physics, norm, np_tile=np_tile,
-                            interpret=interpret)
-        return jax.lax.pmean(m, POINT_AXIS)
+                            interpret=interpret,
+                            n_valid=_local_valid_count(n_true, per),
+                            n_mean=n_true)
+        return jax.lax.psum(m, POINT_AXIS)
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -169,14 +186,16 @@ def sharded_ns_residual_mse(params, x, physics, norm, mesh: Mesh,
 
 
 def sharded_ns_weighted_obj(params, x, physics, norm, weights, mesh: Mesh,
-                            np_tile: int = 4096, interpret: bool = False):
+                            np_tile: int = 4096, interpret: bool = False,
+                            n_true: Optional[int] = None):
     """Multi-chip ONE-PASS training objective: each device runs the
     backward kernel with the loss weights as cotangents on its local point
     shard (tpinn.pallas.ns_residual_weighted_obj — weighted loss + log
-    MSEs + parameter grads in one launch), and a ``pmean`` over the point
-    axis combines the per-shard values; equal shards make the mean of
-    local means the exact global loss/MSEs.  Gradients compose: shard_map
-    transposes the pmean into a cotangent split, the custom VJP scales each
+    MSEs + parameter grads in one launch) with its local valid-row count
+    and the GLOBAL mean denominator, and a ``psum`` over the point axis
+    combines the per-shard contributions — exact for any batch length (see
+    :func:`sharded_ns_residual_mse`).  Gradients compose: shard_map
+    transposes the psum into a cotangent split, the custom VJP scales each
     shard's stashed gradients, and the replicated-parameter gradients psum
     over ICI.  The mses output is log-only (cotangent dropped by the VJP).
     """
@@ -189,14 +208,17 @@ def sharded_ns_weighted_obj(params, x, physics, norm, weights, mesh: Mesh,
             f"point count {n} does not divide the {n_dev}-device mesh; "
             "pad with shard_points first"
         )
+    n_true = n if n_true is None else int(n_true)
+    per = n // n_dev
 
     def local(p, xl):
         L, mses = ns_residual_weighted_obj(
             p, xl, physics, norm, weights, np_tile=np_tile,
             interpret=interpret,
+            n_valid=_local_valid_count(n_true, per), n_mean=n_true,
         )
-        return (jax.lax.pmean(L, POINT_AXIS),
-                jax.lax.pmean(mses, POINT_AXIS))
+        return (jax.lax.psum(L, POINT_AXIS),
+                jax.lax.psum(mses, POINT_AXIS))
 
     return jax.shard_map(
         local, mesh=mesh,
