@@ -188,6 +188,23 @@ def test_ns_residual_mse_n_valid_masking():
                                atol=1e-15)
 
 
+def test_dot_precision_policy(monkeypatch):
+    """The kernels' internal dot precision: ambient default -> None (fast
+    bf16 single-pass); ambient 'highest' + f32 -> TPINN_HP_DOT policy
+    (6-pass 'highest' default, 3-pass 'high' opt-in); f64 -> None (XLA's
+    f64 emulation is exact regardless of the matmul precision attr)."""
+    from tpinn.pallas.mlp_bundle import _dot_precision
+
+    assert _dot_precision(jnp.float32) is None
+    with jax.default_matmul_precision("highest"):
+        assert _dot_precision(jnp.float32) == jax.lax.Precision.HIGHEST
+        assert _dot_precision(jnp.float64) is None
+        monkeypatch.setenv("TPINN_HP_DOT", "high")
+        assert _dot_precision(jnp.float32) == jax.lax.Precision.HIGH
+        monkeypatch.setenv("TPINN_HP_DOT", "highest")
+        assert _dot_precision(jnp.float32) == jax.lax.Precision.HIGHEST
+
+
 def test_high_precision_ambient_detection():
     """minimize() wraps rounds in default_matmul_precision('highest'); the
     kernels read that ambient config at trace time to shrink their streamed
