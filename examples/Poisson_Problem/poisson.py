@@ -76,9 +76,22 @@ def main(epochs: int = 500, save_plots: bool = True, out_dir: str = None,
     def bc_pt(params, xi):
         return model.apply(params, xi[None, :])[0, 0]
 
+    # Fused one-pass Poisson kernel on TPU (loss + log MSE + parameter
+    # grads in ONE launch, tpinn.pallas.poisson_residual_weighted_obj);
+    # LM-bound runs keep the jet closure — the LM round builds its
+    # per-point Gram from point_residual (same routing as tpinn.driver).
+    from tpinn.losses import PrecomputedMeanSquares
+    from tpinn.pipeline import FusedPoissonObjective, use_fused_pde_losses
+
+    if second_round not in ("lm", "jax-lm", "gn") and use_fused_pde_losses(
+            model, False, dim):
+        fused = FusedPoissonObjective(model, x_PDE, f, weight=2.0)
+        pde_loss = PrecomputedMeanSquares("PDE", fused.loss_fn(), weight=2.0)
+    else:
+        pde_loss = ns.LossMeanSquares("PDE", PDE, weight=2.0,
+                                      point_residual=(pde_pt, (x_PDE, f)))
     losses = [
-        ns.LossMeanSquares("PDE", PDE, weight=2.0,
-                           point_residual=(pde_pt, (x_PDE, f))),
+        pde_loss,
         ns.LossMeanSquares("BC", lambda: model(x_BC),
                            point_residual=(bc_pt, (x_BC,))),
     ]

@@ -340,3 +340,151 @@ def test_one_pass_weighted_obj_matches_xla():
     fc, _ = jax.flatten_util.ravel_pytree(gc)
     np.testing.assert_allclose(np.asarray(fc), np.asarray(fx), atol=1e-12,
                                rtol=1e-9)
+
+
+def test_poisson_residual_mse_matches_jet():
+    """Fused Poisson kernel (−Δu − f): value AND hand-written backward vs
+    jax.grad of the jet path, f64 interpret mode.  The forcing streams
+    through a zero-padding feature row of the HBM DMA (mlp_bundle
+    _prep_residual_args rhs), so this also pins that no garbage from the
+    rhs row leaks into the forward or the layer-0 gradient rows."""
+    from tpinn.pallas.mlp_bundle import poisson_residual_mse
+    from tpinn.pipeline import taylor_tri_fn
+
+    model = MLP(2, 1, width=20, depth=3, seed=1, dtype=jnp.float64,
+                input_extents=[(0.0, 2 * np.pi), (0.0, 2 * np.pi)])
+    params = model.params
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 2 * np.pi, (300, 2)), dtype=jnp.float64)
+    f = jnp.asarray(2.0 * np.sin(x[:, 0]) * np.sin(x[:, 1]),
+                    dtype=jnp.float64)
+    tri = taylor_tri_fn(model, 2)
+
+    def jet_loss(p):
+        _, _, hdiag = tri(p, x)
+        r = -(hdiag[:, 0, 0] + hdiag[:, 0, 1]) - f
+        return jnp.mean(r * r)
+
+    def pallas_loss(p):
+        return poisson_residual_mse(p, x, f, np_tile=256, interpret=True)
+
+    np.testing.assert_allclose(
+        float(jet_loss(params)), float(pallas_loss(params)), rtol=1e-12
+    )
+    gx, _ = jax.flatten_util.ravel_pytree(jax.grad(jet_loss)(params))
+    gp, _ = jax.flatten_util.ravel_pytree(jax.grad(pallas_loss)(params))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gp), atol=1e-12,
+                               rtol=1e-9)
+
+
+def test_poisson_residual_mse_normalization_and_masking():
+    """normalization divides the residual (LossMeanSquares contract) and
+    n_valid/n_mean give the exact mean over the first m rows."""
+    from tpinn.pallas.mlp_bundle import poisson_residual_mse
+    from tpinn.pipeline import taylor_tri_fn
+
+    model = MLP(2, 1, width=16, depth=2, seed=3, dtype=jnp.float64)
+    params = model.params
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 1, (217, 2)), dtype=jnp.float64)
+    f = jnp.asarray(rng.normal(size=217), dtype=jnp.float64)
+    tri = taylor_tri_fn(model, 2)
+    m = 150
+
+    def jet_mse(xs, fs, normalization):
+        _, _, hdiag = tri(params, xs)
+        r = (-(hdiag[:, 0, 0] + hdiag[:, 0, 1]) - fs) / normalization
+        return float(jnp.mean(r * r))
+
+    got = float(poisson_residual_mse(params, x, f, normalization=3.0,
+                                     np_tile=128, interpret=True))
+    np.testing.assert_allclose(got, jet_mse(x, f, 3.0), rtol=1e-12)
+
+    masked = float(poisson_residual_mse(params, x, f, np_tile=128,
+                                        interpret=True, n_valid=m, n_mean=m))
+    np.testing.assert_allclose(masked, jet_mse(x[:m], f[:m], 1.0),
+                               rtol=1e-12)
+
+
+def test_poisson_one_pass_weighted_obj():
+    """(w·mse, mse) + parameter grads from ONE launch == value_and_grad of
+    the jet path; the mse channel is log-only (cotangent dropped)."""
+    from tpinn.pallas.mlp_bundle import (
+        poisson_residual_mse,
+        poisson_residual_weighted_obj,
+    )
+    from tpinn.pipeline import taylor_tri_fn
+
+    model = MLP(2, 1, width=20, depth=3, seed=4, dtype=jnp.float64)
+    params = model.params
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(0, 1, (260, 2)), dtype=jnp.float64)
+    f = jnp.asarray(rng.normal(size=260), dtype=jnp.float64)
+    w = 2.0
+    tri = taylor_tri_fn(model, 2)
+
+    def jet_loss(p):
+        _, _, hdiag = tri(p, x)
+        r = -(hdiag[:, 0, 0] + hdiag[:, 0, 1]) - f
+        return w * jnp.mean(r * r)
+
+    def wobj_loss(p):
+        L, _ = poisson_residual_weighted_obj(p, x, f, w, np_tile=128,
+                                             interpret=True)
+        return L
+
+    vx, gx = jax.value_and_grad(jet_loss)(params)
+    vp, gp = jax.value_and_grad(wobj_loss)(params)
+    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-12)
+    fx, _ = jax.flatten_util.ravel_pytree(gx)
+    fp, _ = jax.flatten_util.ravel_pytree(gp)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=1e-12,
+                               rtol=1e-9)
+
+    _, mse = poisson_residual_weighted_obj(params, x, f, w, np_tile=128,
+                                           interpret=True)
+    mse_fwd = poisson_residual_mse(params, x, f, np_tile=128, interpret=True)
+    np.testing.assert_allclose(float(mse), float(mse_fwd), rtol=1e-13)
+
+
+def test_fused_poisson_objective_closure():
+    """FusedPoissonObjective.loss_fn: logged value == raw MSE exactly, and
+    grad of weight·fn() == grad of the jet objective (surrogate wiring)."""
+    from tpinn.pallas.mlp_bundle import poisson_residual_mse
+    from tpinn.pipeline import FusedPoissonObjective, taylor_tri_fn
+
+    model = MLP(2, 1, width=20, depth=3, seed=1, dtype=jnp.float64)
+    params = model.params
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(0, 1, (200, 2)), dtype=jnp.float64)
+    f = jnp.asarray(rng.normal(size=200), dtype=jnp.float64)
+    w = 2.0
+    tri = taylor_tri_fn(model, 2)
+
+    def jet_loss(p):
+        _, _, hdiag = tri(p, x)
+        r = -(hdiag[:, 0, 0] + hdiag[:, 0, 1]) - f
+        return w * jnp.mean(r * r)
+
+    def closure_loss(p):
+        prev = model._bound
+        model._bound = p
+        fn = FusedPoissonObjective(model, x, f, weight=w,
+                                   np_tile=128).loss_fn()
+        out = w * fn()
+        model._bound = prev
+        return out
+
+    vx, gx = jax.value_and_grad(jet_loss)(params)
+    vc, gc = jax.value_and_grad(closure_loss)(params)
+    np.testing.assert_allclose(float(vc), float(vx), rtol=1e-12)
+    fx, _ = jax.flatten_util.ravel_pytree(gx)
+    fc, _ = jax.flatten_util.ravel_pytree(gc)
+    np.testing.assert_allclose(np.asarray(fc), np.asarray(fx), atol=1e-12,
+                               rtol=1e-9)
+
+    logged = float(FusedPoissonObjective(model, x, f, weight=w,
+                                         np_tile=128).loss_fn()())
+    mse = float(poisson_residual_mse(params, x, f, np_tile=128,
+                                     interpret=True))
+    np.testing.assert_allclose(logged, mse, rtol=1e-13)

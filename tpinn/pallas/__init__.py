@@ -26,6 +26,15 @@ from tpinn.pallas.mlp_bundle import (
     ns_residual_mse,
     ns_residual_weighted_obj,
     pallas_available,
+    poisson_residual_mse,
+    poisson_residual_weighted_obj,
 )
 
-__all__ = ["mlp_taylor_bundle", "ns_residual_mse", "ns_residual_weighted_obj", "pallas_available"]
+__all__ = [
+    "mlp_taylor_bundle",
+    "ns_residual_mse",
+    "ns_residual_weighted_obj",
+    "pallas_available",
+    "poisson_residual_mse",
+    "poisson_residual_weighted_obj",
+]

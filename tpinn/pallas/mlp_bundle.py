@@ -105,11 +105,23 @@ def _dot_bwd(w, dz, dtype, prec):
 
 
 def _dot_gram(s, dz, dtype, prec):
-    """(in, C) × (out, C) -> (in, out): per-layer dW, contracted over lanes."""
-    return jax.lax.dot_general(
+    """(in, C) × (out, C) -> (in, out): per-layer dW, contracted over lanes.
+
+    A sublane-deficient ``out`` (the Poisson scalar head, out = 1) would
+    lower as a lane ``vector.multi_reduction``, which Mosaic refuses to fuse
+    with the non-constant gram accumulator ("only constant accumulators
+    supported").  Pad such operands to 8 sublanes so the contraction stays
+    an MXU matmul, and slice the columns back."""
+    out = dz.shape[0]
+    if out < 8:
+        dz = jnp.concatenate(
+            [dz, jnp.zeros((8 - out, dz.shape[1]), dz.dtype)], axis=0
+        )
+    r = jax.lax.dot_general(
         s, dz, (((1,), (1,)), ((), ())),
         preferred_element_type=dtype, precision=prec,
     )
+    return r[:, :out] if out < 8 else r
 
 
 def _kernel(x_ref, *refs, dim: int, widths: Sequence[int], np_tile: int):
@@ -262,6 +274,92 @@ def _residual_rows(sv, sg, sh, valid, phys, spatial):
             r = r + timec * nv * sg[0][k]  # ∂t stream = gradient column 0
         moms.append(jnp.where(valid, r * scale, 0.0))
     return r_mass, moms[0], moms[1]
+
+
+def _reverse_walk(ws, s_layers, aux, ds_v, ds_g, ds_h, grams, dbs, *,
+                  spatial, d_in, dp, widths, dtype, prec):
+    """Reverse pass over the Taylor streams: given the OUTPUT-stream
+    cotangents (ds_v, ds_g per input column, ds_h per spatial column), walk
+    the layers backward accumulating dW/db into ``grams``/``dbs`` in place.
+    Shared by every residual-family backward kernel (NS and Poisson) — the
+    physics only differ in how the output cotangents are assembled.
+
+    ``ds_v`` and any element of ``ds_g`` may be ``None`` to mark an
+    IDENTICALLY-ZERO cotangent stream (the Poisson residual touches only
+    the Hessian streams, so its value/gradient head cotangents are
+    structural zeros).  ``None`` streams skip their gram/backprop matmuls
+    at the head layer — both a real saving and a requirement: Mosaic
+    refuses a dot_general whose operand folds to a broadcast zero constant
+    ("only constant accumulators supported")."""
+    n_layers = len(ws)
+    n_h = len(spatial)
+
+    def _acc(a, b):
+        return b if a is None else a + b
+
+    for li in range(n_layers - 1, -1, -1):
+        if li == n_layers - 1:
+            dz_v, dz_g, dz_h = ds_v, list(ds_g), ds_h
+        else:
+            tp, zg, zh = aux[li]
+            v = s_layers[li + 1][0]  # this layer's activation output
+            a = -2.0 * v * tp
+            b2 = -2.0 * tp * (tp - 2.0 * v * v)
+            dz_v = ds_v * tp if ds_v is not None else None
+            for k in range(d_in):
+                if ds_g[k] is not None:
+                    dz_v = _acc(dz_v, ds_g[k] * (a * zg[k]))
+            for j, pk in enumerate(spatial):
+                hterm = b2 * (zg[pk] * zg[pk])
+                if zh is not None:
+                    hterm = hterm + a * zh[j]
+                dz_v = _acc(dz_v, ds_h[j] * hterm)
+            dz_g = []
+            for k in range(d_in):
+                part = ds_g[k] * tp if ds_g[k] is not None else None
+                for j, pk in enumerate(spatial):
+                    if pk == k:
+                        part = _acc(part, ds_h[j] * (2.0 * a * zg[k]))
+                dz_g.append(part)
+            dz_h = [ds_h[j] * tp for j in range(n_h)]
+        # bias feeds the value stream only
+        if dz_v is not None:
+            dbs[li] = dbs[li] + jnp.sum(dz_v, axis=1)[None, :]
+        sv_i, sg_i, sh_i = s_layers[li]
+        if li == 0:
+            # layer 0: value stream is the batch itself; each gradient
+            # stream is a basis vector e_k, so its dW block is
+            # e_k ⊗ Σ_lanes dz_gk (a lane-sum, no matmul); the Hessian
+            # input streams are exactly zero (no contribution).
+            g = (_dot_gram(sv_i, dz_v, dtype, prec)
+                 if dz_v is not None else None)
+            rid = jax.lax.broadcasted_iota(
+                jnp.int32, (dp, widths[1]), 0
+            )
+            for k in range(d_in):
+                if dz_g[k] is None:
+                    continue
+                g = _acc(g, jnp.where(
+                    rid == k, jnp.sum(dz_g[k], axis=1)[None, :], 0.0
+                ))
+        else:
+            g = (_dot_gram(sv_i, dz_v, dtype, prec)
+                 if dz_v is not None else None)
+            for k in range(d_in):
+                if dz_g[k] is not None:
+                    g = _acc(g, _dot_gram(sg_i[k], dz_g[k], dtype, prec))
+            for j in range(n_h):
+                g = _acc(g, _dot_gram(sh_i[j], dz_h[j], dtype, prec))
+        if g is not None:
+            grams[li] = grams[li] + g
+        if li > 0:
+            # layer 0's input gradient is never used (training never
+            # differentiates w.r.t. the collocation points) — skip it.
+            ds_v = (_dot_bwd(ws[li], dz_v, dtype, prec)
+                    if dz_v is not None else None)
+            ds_g = [(_dot_bwd(ws[li], z, dtype, prec)
+                     if z is not None else None) for z in dz_g]
+            ds_h = [_dot_bwd(ws[li], z, dtype, prec) for z in dz_h]
 
 
 def _residual_kernel(xt_ref, nv_ref, *refs, spatial: Sequence[int],
@@ -515,59 +613,9 @@ def _residual_bwd_kernel(xt_ref, nv_ref, *refs, spatial: Sequence[int],
         ds_g = [dg_by_col.get(k, zero3) for k in range(d_in)]
         ds_h = [dh, dh]
 
-        for li in range(n_layers - 1, -1, -1):
-            if li == n_layers - 1:
-                dz_v, dz_g, dz_h = ds_v, ds_g, ds_h
-            else:
-                tp, zg, zh = aux[li]
-                v = s_layers[li + 1][0]  # this layer's activation output
-                a = -2.0 * v * tp
-                b2 = -2.0 * tp * (tp - 2.0 * v * v)
-                dz_v = ds_v * tp
-                for k in range(d_in):
-                    dz_v = dz_v + ds_g[k] * (a * zg[k])
-                for j, pk in enumerate(spatial):
-                    hterm = b2 * (zg[pk] * zg[pk])
-                    if zh is not None:
-                        hterm = hterm + a * zh[j]
-                    dz_v = dz_v + ds_h[j] * hterm
-                dz_g = []
-                for k in range(d_in):
-                    part = ds_g[k] * tp
-                    for j, pk in enumerate(spatial):
-                        if pk == k:
-                            part = part + ds_h[j] * (2.0 * a * zg[k])
-                    dz_g.append(part)
-                dz_h = [ds_h[j] * tp for j in range(n_h)]
-            # bias feeds the value stream only
-            dbs[li] = dbs[li] + jnp.sum(dz_v, axis=1)[None, :]
-            sv_i, sg_i, sh_i = s_layers[li]
-            if li == 0:
-                # layer 0: value stream is the batch itself; each gradient
-                # stream is a basis vector e_k, so its dW block is
-                # e_k ⊗ Σ_lanes dz_gk (a lane-sum, no matmul); the Hessian
-                # input streams are exactly zero (no contribution).
-                g = _dot_gram(sv_i, dz_v, dtype, prec)
-                rid = jax.lax.broadcasted_iota(
-                    jnp.int32, (dp, widths[1]), 0
-                )
-                for k in range(d_in):
-                    g = g + jnp.where(
-                        rid == k, jnp.sum(dz_g[k], axis=1)[None, :], 0.0
-                    )
-            else:
-                g = _dot_gram(sv_i, dz_v, dtype, prec)
-                for k in range(d_in):
-                    g = g + _dot_gram(sg_i[k], dz_g[k], dtype, prec)
-                for j in range(n_h):
-                    g = g + _dot_gram(sh_i[j], dz_h[j], dtype, prec)
-            grams[li] = grams[li] + g
-            if li > 0:
-                # layer 0's input gradient is never used (training never
-                # differentiates w.r.t. the collocation points) — skip it.
-                ds_v = _dot_bwd(ws[li], dz_v, dtype, prec)
-                ds_g = [_dot_bwd(ws[li], z, dtype, prec) for z in dz_g]
-                ds_h = [_dot_bwd(ws[li], z, dtype, prec) for z in dz_h]
+        _reverse_walk(ws, s_layers, aux, ds_v, ds_g, ds_h, grams, dbs,
+                      spatial=spatial, d_in=d_in, dp=dp, widths=widths,
+                      dtype=dtype, prec=prec)
         sq = sq + jnp.stack(sq_parts)
         return tuple(grams) + tuple(dbs) + (sq,)
 
@@ -641,11 +689,23 @@ def _fwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
     return max(256, min(cap, np_tile))
 
 
-def _prep_residual_args(params, x, chunk, expect_d_in):
+def _prep_residual_args(params, x, chunk, expect_d_in, rhs=None):
     """Shared layout prep: pad features to _DP rows + points to a chunk
-    multiple, transpose to (n_chunks, _DP, chunk), zero-pad W0 rows."""
+    multiple, transpose to (n_chunks, _DP, chunk), zero-pad W0 rows.
+
+    ``rhs`` (optional, (n,)): a per-point right-hand side (e.g. the Poisson
+    forcing f) rides in feature row ``d_in`` — one of the zero padding rows
+    the sublane tiling forces us to stream anyway, so it costs NO extra
+    bandwidth; W0's matching rows are zero, so the forward is unchanged and
+    the kernel reads it back as ``xt[d_in]``."""
     x = jnp.asarray(x)
     n, d_in = x.shape
+    if rhs is not None:
+        if d_in + 1 > _DP:
+            raise ValueError("no spare padding row for the rhs stream")
+        x = jnp.concatenate(
+            [x, jnp.asarray(rhs, x.dtype).reshape(n, 1)], axis=1
+        )
     if d_in != expect_d_in:
         # steady wants (x, y); unsteady wants (t, x, y).  A mismatched
         # column count would silently misassign the Taylor streams.
@@ -664,11 +724,12 @@ def _prep_residual_args(params, x, chunk, expect_d_in):
     n_pad = -(-n // chunk) * chunk
     if n_pad != n:
         x = jnp.concatenate(
-            [x, jnp.zeros((n_pad - n, d_in), dtype=dtype)], axis=0
+            [x, jnp.zeros((n_pad - n, x.shape[1]), dtype=dtype)], axis=0
         )
-    if d_in < _DP:
+    if x.shape[1] < _DP:
         x = jnp.concatenate(
-            [x, jnp.zeros((x.shape[0], _DP - d_in), dtype=dtype)], axis=1
+            [x, jnp.zeros((x.shape[0], _DP - x.shape[1]), dtype=dtype)],
+            axis=1,
         )
     xt = jnp.transpose(x.reshape(n_pad // chunk, chunk, _DP), (0, 2, 1))
     w_args = [jnp.asarray(p["kernel"], dtype=dtype) for p in params]
@@ -913,6 +974,365 @@ def ns_residual_mse(params, x, physics, norm, np_tile: int = 4096,
     return _ns_mse_prim(params, x, nv, phys_items, int(np_tile),
                         bool(interpret),
                         int(n if n_mean is None else n_mean))
+
+
+# ---------------------------------------------------------------------------
+# Fused Poisson-residual kernels: r = −Δu − f  (the last jet-path PDE family)
+# ---------------------------------------------------------------------------
+#
+# Same per-stream Taylor machinery as the NS kernels with two differences:
+# the head is scalar (d_out = 1) and only the Hessian-diagonal streams feed
+# the residual, so the output cotangents are (0, 0, [c, c]) and the whole
+# backward reduces to the shared _reverse_walk.  The per-point forcing f
+# rides feature row ``d_in`` of the HBM stream — one of the zero padding rows
+# the sublane tiling forces us to DMA anyway (see _prep_residual_args), so
+# it costs no extra bandwidth; W0's matching row is zero so the forward
+# Taylor propagation never sees it.
+#
+# Reference semantics: Examples/Poisson_Problem/poisson.py:58-63 (−Δu − f
+# under a persistent tape); this kernel replaces that whole tape walk plus
+# the jet-path fallback with one launch (and, via the weighted-objective
+# variant, folds the parameter gradients into the same launch).
+
+
+_POISSON_SPATIAL = (0, 1)  # steady (x, y); d_in = 2
+
+
+def _poisson_kernel(xt_ref, nv_ref, *refs, widths: Sequence[int], chunk: int,
+                    n_chunks: int, scale: float, prec):
+    """Forward sum of squared Poisson residuals (masked), streamed from HBM
+    exactly like :func:`_residual_kernel`."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_layers = len(widths) - 1
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers : 2 * n_layers]
+    out_ref = refs[2 * n_layers]
+
+    d_in = widths[0]
+    dp = max(d_in, _DP)
+    dtype = xt_ref.dtype
+    ws = [w_refs[i][...] for i in range(n_layers)]
+    bs = [b_refs[i][...] for i in range(n_layers)]
+    n_valid = nv_ref[0, 0]
+
+    def scoped(xbuf, sems):
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                xt_ref.at[c], xbuf.at[slot], sems.at[slot]
+            )
+
+        get_dma(0, 0).start()
+
+        def body(c, acc):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            xt = xbuf[slot]
+            _, _, sh, _, _ = _taylor_streams(
+                ws, bs, xt, spatial=_POISSON_SPATIAL, d_in=d_in, chunk=chunk,
+                dtype=dtype, prec=prec, keep_aux=False,
+            )
+            f_row = xt[d_in : d_in + 1]  # forcing stream (1, chunk)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            valid = (lane + c * chunk).astype(jnp.float32) < n_valid
+            r = jnp.where(valid, (sh[0] + sh[1] + f_row) * scale, 0.0)
+            return acc + jnp.sum(r * r)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((), dtype=dtype))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        out_ref[...] = jnp.where((sub == 0) & (lane == 0), acc, 0.0)
+
+    pl.run_scoped(
+        scoped,
+        xbuf=pltpu.VMEM((2, dp, chunk), dtype),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _poisson_bwd_kernel(xt_ref, nv_ref, *refs, widths: Sequence[int],
+                        chunk: int, n_chunks: int, scale: float,
+                        n_mean: int, prec):
+    """Backward of the Poisson-residual MSE w.r.t. the MLP parameters, with
+    the raw squared-residual sum accumulated in the same pass (the one-pass
+    weighted-objective contract of :func:`_residual_bwd_kernel`).  The
+    residual touches only the Hessian-diagonal output streams, so the
+    cotangent assembly is (ds_v, ds_g, ds_h) = (0, 0, [c, c]) with
+    c = ḡ·(2/n)·r·scale, and the layer recursion is the shared
+    :func:`_reverse_walk`."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_layers = len(widths) - 1
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers : 2 * n_layers]
+    gbar_ref = refs[2 * n_layers]
+    out_refs = refs[2 * n_layers + 1 :]
+    dw_refs = out_refs[:n_layers]
+    db_refs = out_refs[n_layers : 2 * n_layers]
+    mse_ref = out_refs[2 * n_layers]
+
+    d_in = widths[0]
+    dp = max(d_in, _DP)
+    dtype = xt_ref.dtype
+    ws = [w_refs[i][...] for i in range(n_layers)]
+    bs = [b_refs[i][...] for i in range(n_layers)]
+    g_cot = gbar_ref[...][0, 0]
+    n_valid = nv_ref[0, 0]
+
+    def scoped(xbuf, sems):
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                xt_ref.at[c], xbuf.at[slot], sems.at[slot]
+            )
+
+        get_dma(0, 0).start()
+
+        def body(c, carry):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            return _bwd_chunk(c, xbuf[slot], carry)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body, init)
+        for i in range(n_layers):
+            dw_refs[i][...] = acc[i]
+            db_refs[i][...] = acc[n_layers + i]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        mse_ref[...] = jnp.where((sub == 0) & (lane == 0),
+                                 acc[2 * n_layers], 0.0)
+
+    def _bwd_chunk(c, xt, carry):
+        grams = list(carry[:n_layers])
+        dbs = list(carry[n_layers : 2 * n_layers])
+        sq = carry[2 * n_layers]
+
+        _, _, sh, s_layers, aux = _taylor_streams(
+            ws, bs, xt, spatial=_POISSON_SPATIAL, d_in=d_in, chunk=chunk,
+            dtype=dtype, prec=prec, keep_aux=True,
+        )
+        f_row = xt[d_in : d_in + 1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        valid = (lane + c * chunk).astype(jnp.float32) < n_valid
+        r = jnp.where(valid, (sh[0] + sh[1] + f_row) * scale, 0.0)
+        sq = sq + jnp.sum(r * r)
+
+        two_over_n = jnp.asarray(2.0 / n_mean, dtype=dtype)
+        c_h = g_cot * two_over_n * r * scale  # (1, chunk)
+        # value/gradient head cotangents are STRUCTURAL zeros (the Poisson
+        # residual touches only the Hessian streams) — pass None so the
+        # reverse walk skips their head-layer matmuls entirely
+        _reverse_walk(ws, s_layers, aux, None, [None] * d_in, [c_h, c_h],
+                      grams, dbs, spatial=_POISSON_SPATIAL, d_in=d_in,
+                      dp=dp, widths=widths, dtype=dtype, prec=prec)
+        return tuple(grams) + tuple(dbs) + (sq,)
+
+    in_dims = [dp] + [widths[i] for i in range(1, n_layers)]
+    out_dims = [widths[i + 1] for i in range(n_layers)]
+    init = tuple(
+        jnp.zeros((in_dims[i], out_dims[i]), dtype=dtype)
+        for i in range(n_layers)
+    ) + tuple(
+        jnp.zeros((1, widths[i + 1]), dtype=dtype) for i in range(n_layers)
+    ) + (jnp.zeros((), dtype=dtype),)
+    pl.run_scoped(
+        scoped,
+        xbuf=pltpu.VMEM((2, dp, chunk), dtype),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _poisson_mse_forward(params, x, f, n_valid, scale, chunk, interpret,
+                         n_mean):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    probe_widths = [int(p["kernel"].shape[0]) for p in params] + [
+        int(params[-1]["kernel"].shape[1])
+    ]
+    chunk = _fwd_chunk_cap(probe_widths, 2, 2, chunk, jnp.asarray(x).dtype)
+    xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
+        params, x, chunk, 2, rhs=f
+    )
+    if n_mean is None:
+        n_mean = n
+    nv = jnp.asarray(n if n_valid is None else n_valid,
+                     jnp.float32).reshape(1, 1)
+    kernel = functools.partial(
+        _poisson_kernel, widths=widths, chunk=chunk, n_chunks=xt.shape[0],
+        scale=float(scale), prec=_dot_precision(dtype),
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * len(w_args))
+    acc = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), dtype),
+        interpret=interpret,
+    )(xt, nv, *w_args, *b_args)
+    return acc[0, 0] / n_mean
+
+
+def _poisson_mse_backward(params, x, f, gbar, n_valid, scale, chunk,
+                          interpret, n_mean):
+    """(dparams, mse): parameter cotangents for the scalar MSE cotangent
+    ``gbar``, plus the raw MSE (accumulated in the same pass)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    probe_widths = [int(p["kernel"].shape[0]) for p in params] + [
+        int(params[-1]["kernel"].shape[1])
+    ]
+    chunk = _bwd_chunk_cap(probe_widths, 2, 2, chunk, jnp.asarray(x).dtype)
+    xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
+        params, x, chunk, 2, rhs=f
+    )
+    if n_mean is None:
+        n_mean = n
+    nv = jnp.asarray(n if n_valid is None else n_valid,
+                     jnp.float32).reshape(1, 1)
+    n_layers = len(w_args)
+    kernel = functools.partial(
+        _poisson_bwd_kernel, widths=widths, chunk=chunk,
+        n_chunks=xt.shape[0], scale=float(scale), n_mean=int(n_mean),
+        prec=_dot_precision(dtype),
+    )
+    gpad = jnp.zeros((8, 128), dtype=dtype).at[0, 0].set(
+        jnp.asarray(gbar, dtype=dtype)
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * n_layers)
+    dp = max(widths[0], _DP)
+    out_shape = [
+        jax.ShapeDtypeStruct((dp if i == 0 else widths[i], widths[i + 1]),
+                             dtype)
+        for i in range(n_layers)
+    ] + [
+        jax.ShapeDtypeStruct((1, widths[i + 1]), dtype)
+        for i in range(n_layers)
+    ] + [jax.ShapeDtypeStruct((8, 128), dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers + 1)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xt, nv, *w_args, *b_args, gpad)
+    dparams = [
+        {"kernel": outs[i][: widths[i]], "bias": outs[n_layers + i][0]}
+        for i in range(n_layers)
+    ]
+    mse = outs[2 * n_layers][0, 0] / n_mean
+    return dparams, mse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _poisson_mse_prim(params, x, f, n_valid, scale, chunk, interpret,
+                      n_mean):
+    return _poisson_mse_forward(params, x, f, n_valid, scale, chunk,
+                                interpret, n_mean)
+
+
+def _poisson_mse_fwd(params, x, f, n_valid, scale, chunk, interpret, n_mean):
+    out = _poisson_mse_forward(params, x, f, n_valid, scale, chunk,
+                               interpret, n_mean)
+    return out, (params, x, f, n_valid)
+
+
+def _poisson_mse_bwd(scale, chunk, interpret, n_mean, res, gbar):
+    params, x, f, n_valid = res
+    dparams, _ = _poisson_mse_backward(
+        params, x, f, gbar, n_valid, scale, chunk, interpret, n_mean
+    )
+    return dparams, jnp.zeros_like(jnp.asarray(x)), jnp.zeros_like(
+        jnp.asarray(f)
+    ), jnp.zeros_like(jnp.asarray(n_valid, jnp.float32))
+
+
+_poisson_mse_prim.defvjp(_poisson_mse_fwd, _poisson_mse_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _poisson_wobj_prim(params, x, f, n_valid, weight, scale, chunk,
+                       interpret, n_mean):
+    _, mse = _poisson_mse_backward(
+        params, x, f, jnp.asarray(weight), n_valid, scale, chunk, interpret,
+        n_mean,
+    )
+    return weight * mse, mse
+
+
+def _poisson_wobj_fwd(params, x, f, n_valid, weight, scale, chunk, interpret,
+                      n_mean):
+    dparams, mse = _poisson_mse_backward(
+        params, x, f, jnp.asarray(weight), n_valid, scale, chunk, interpret,
+        n_mean,
+    )
+    return (weight * mse, mse), (dparams, x, f, n_valid)
+
+
+def _poisson_wobj_bwd(weight, scale, chunk, interpret, n_mean, res, cts):
+    dparams, x, f, n_valid = res
+    g_loss, _g_mse = cts  # mse is LOG-ONLY: its cotangent is dropped
+    scaled = jax.tree_util.tree_map(lambda a: g_loss * a, dparams)
+    return scaled, jnp.zeros_like(jnp.asarray(x)), jnp.zeros_like(
+        jnp.asarray(f)
+    ), jnp.zeros_like(jnp.asarray(n_valid, jnp.float32))
+
+
+_poisson_wobj_prim.defvjp(_poisson_wobj_fwd, _poisson_wobj_bwd)
+
+
+def poisson_residual_mse(params, x, f, normalization: float = 1.0,
+                         np_tile: int = 4096, interpret: bool = False,
+                         n_valid=None, n_mean=None):
+    """mean(((−Δu − f)/normalization)²) for a scalar tanh MLP — one fused
+    Pallas kernel, differentiable w.r.t. ``params`` via a hand-written
+    backward kernel.  ``x`` is (N, 2); ``f`` is the per-point forcing (N,).
+    ``n_valid``/``n_mean`` follow the exact-mean masking contract of
+    :func:`ns_residual_mse`."""
+    n = int(jnp.shape(x)[0])
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.float32)
+    return _poisson_mse_prim(params, x, jnp.asarray(f).reshape(n), nv,
+                             1.0 / float(normalization), int(np_tile),
+                             bool(interpret),
+                             int(n if n_mean is None else n_mean))
+
+
+def poisson_residual_weighted_obj(params, x, f, weight: float,
+                                  normalization: float = 1.0,
+                                  np_tile: int = 4096,
+                                  interpret: bool = False,
+                                  n_valid=None, n_mean=None):
+    """(weight·mse, mse) in ONE kernel launch — the Poisson analog of
+    :func:`ns_residual_weighted_obj`: the backward kernel invoked with the
+    loss weight as cotangent yields the weighted PDE loss, the raw MSE log
+    channel, and the parameter gradients in a single pass.  The returned
+    ``mse`` is LOG-ONLY (its cotangent is dropped by the VJP)."""
+    n = int(jnp.shape(x)[0])
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.float32)
+    return _poisson_wobj_prim(params, x, jnp.asarray(f).reshape(n), nv,
+                              float(weight), 1.0 / float(normalization),
+                              int(np_tile), bool(interpret),
+                              int(n if n_mean is None else n_mean))
 
 
 def mlp_taylor_bundle(

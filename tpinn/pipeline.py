@@ -247,6 +247,57 @@ class FusedNSWeightedObjective:
         return chan(0), chan(1), chan(2)
 
 
+class FusedPoissonObjective:
+    """ONE-PASS Poisson objective: weighted −Δu−f loss + raw MSE log channel
+    + parameter gradients from a single kernel launch
+    (tpinn.pallas.poisson_residual_weighted_obj) — the Poisson member of the
+    one-pass kernel family (see FusedNSWeightedObjective for the contract).
+    This closes the last jet-by-construction PDE family: with it, every PDE
+    loss in the repo can train through a fused Pallas kernel on TPU.
+
+    Reference semantics: Examples/Poisson_Problem/poisson.py:58-63."""
+
+    def __init__(self, model: Model, x, f, weight: float,
+                 normalization: float = 1.0, np_tile: int = 4096):
+        self.model = model
+        self.x = x
+        self.f = f
+        self.weight = float(weight)
+        self.normalization = float(normalization)
+        self.np_tile = np_tile
+        self._memo = None
+
+    def _compute(self):
+        from tpinn.pallas import poisson_residual_weighted_obj
+
+        params = self.model.current_params
+        leaf = params[0]["kernel"]
+        if self._memo is not None and self._memo[0] is leaf:
+            return self._memo[1]
+        interpret = jax.default_backend() != "tpu"
+        out = poisson_residual_weighted_obj(
+            params, self.x, self.f, self.weight,
+            normalization=self.normalization, np_tile=self.np_tile,
+            interpret=interpret,
+        )
+        self._memo = (leaf, out)
+        return out
+
+    def loss_fn(self):
+        """Closure for PrecomputedMeanSquares: logs the exact raw MSE while
+        carrying the one-pass gradient through the surrogate term (which is
+        exactly 0.0 in the primal)."""
+        w = self.weight or 1.0
+
+        def fn():
+            L, mse = self._compute()
+            return jax.lax.stop_gradient(mse) + (
+                L - jax.lax.stop_gradient(L)
+            ) / w
+
+        return fn
+
+
 def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
                          mesh=None) -> bool:
     """Default policy for routing the PDE losses through the fused Pallas
