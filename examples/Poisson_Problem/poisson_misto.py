@@ -89,9 +89,20 @@ def main(epochs: int = 7500, save_plots: bool = True, out_dir: str = None,
         _, jac, _ = tri(params, xi[None, :])
         return jac[0, 0, 0] - g_i
 
+    # Fused one-pass Poisson kernel on TPU (same routing as poisson.py:
+    # LM-bound runs keep the jet closure for the per-point-Gram fast path)
+    from tpinn.losses import PrecomputedMeanSquares
+    from tpinn.pipeline import FusedPoissonObjective, use_fused_pde_losses
+
+    if second_round not in ("lm", "jax-lm", "gn") and use_fused_pde_losses(
+            model, False, dim):
+        fused = FusedPoissonObjective(model, x_PDE, f, weight=1e2)
+        pde_loss = PrecomputedMeanSquares("PDE", fused.loss_fn(), weight=1e2)
+    else:
+        pde_loss = ns.LossMeanSquares("PDE", PDE, weight=1e2,
+                                      point_residual=(pde_pt, (x_PDE, f)))
     losses = [
-        ns.LossMeanSquares("PDE", PDE, weight=1e2,
-                           point_residual=(pde_pt, (x_PDE, f))),
+        pde_loss,
         ns.LossMeanSquares("BC_D", lambda: model(x_BC_D),
                            point_residual=(bcd_pt, (x_BC_D,))),
         ns.LossMeanSquares("BC_N", BC_N,

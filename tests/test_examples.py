@@ -121,3 +121,14 @@ def test_colliding_pressmean_smoke(tmp_path):
     assert "PRESS_0" in d["losses"]
     assert d["losses"]["PRESS_0"]["non_negative"] is True
     assert d["losses"]["PRESS_0"]["display_sqrt"] is False
+
+
+@pytest.mark.slow
+def test_poisson_misto_example_smoke(tmp_path):
+    # mixed Dirichlet/Neumann variant; also exercises the fused-PDE gating
+    # branch added in round 4 (fused off on CPU, jet path preserved)
+    mod = load_example("examples/Poisson_Problem/poisson_misto.py")
+    pb, model = mod.main(epochs=40, save_plots=False, out_dir=str(tmp_path),
+                         second_round="jax")
+    assert pb.history.loss_global[-1] < pb.history.loss_global[0]
+    assert {"PDE", "BC_D", "BC_N"} <= set(pb.history.to_dict()["losses"])
