@@ -188,6 +188,37 @@ def test_ns_residual_mse_n_valid_masking():
                                atol=1e-15)
 
 
+def test_bwd_interleave_knob(monkeypatch):
+    """TPINN_BWD_ILV (bwd-kernel chunk interleave experiment, measured
+    negative on v5e and defaulted to 1) must be value-neutral: ilv=2 with an
+    odd chunk count (zero-padded) produces the same parameter gradients as
+    the default single-chunk loop."""
+    from tpinn.geometry import Normalization
+    from tpinn.pallas.mlp_bundle import ns_residual_mse
+    from tpinn.pipeline import NSPhysics
+
+    model = MLP(2, 3, width=32, depth=3, seed=4, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 500.0]), np.array([0.0, 250.0]), np.array([-1e4, 1e4])
+    )
+    phys = NSPhysics(conv=1.0, visc=1.0)
+    # np_tile=256 over 700 rows -> 3 chunks (odd, exercises the ilv padding)
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (700, 2)), dtype=jnp.float64
+    )
+
+    def loss(p):
+        return jnp.sum(ns_residual_mse(p, x, phys, norm, np_tile=256,
+                                       interpret=True))
+
+    g1, _ = jax.flatten_util.ravel_pytree(jax.grad(loss)(params))
+    monkeypatch.setenv("TPINN_BWD_ILV", "2")
+    g2, _ = jax.flatten_util.ravel_pytree(jax.grad(loss)(params))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-12,
+                               atol=1e-15)
+
+
 def test_dot_precision_policy(monkeypatch):
     """The kernels' internal dot precision: ambient default -> None (fast
     bf16 single-pass); ambient 'highest' + f32 -> TPINN_HP_DOT policy

@@ -447,7 +447,7 @@ def _residual_kernel(xt_ref, nv_ref, *refs, spatial: Sequence[int],
 
 def _residual_bwd_kernel(xt_ref, nv_ref, *refs, spatial: Sequence[int],
                          widths: Sequence[int], chunk: int, n_chunks: int,
-                         phys: dict, n_mean: int, prec):
+                         phys: dict, n_mean: int, prec, ilv: int = 1):
     """Backward of the fused NS-residual MSEs w.r.t. the MLP parameters.
 
     One pass per chunk: recompute the per-stream Taylor bundle (keeping the
@@ -511,24 +511,42 @@ def _residual_bwd_kernel(xt_ref, nv_ref, *refs, spatial: Sequence[int],
     n_valid = nv_ref[0, 0]
 
     def scoped(xbuf, sems):
+        # ``ilv`` independent chunks traced per loop iteration — an
+        # MXU/VPU co-scheduling EXPERIMENT, measured NEGATIVE on v5e
+        # (ilv=1 317 M pts/s, ilv=2 285 M, ilv=4 250 M at np_tile 4096;
+        # the Mosaic scheduler does not hoist the second chunk's VPU
+        # algebra into the first chunk's MXU stalls at block granularity,
+        # and the halved per-chunk cap costs real throughput).  Kept
+        # behind TPINN_BWD_ILV (default 1 == exactly the old loop) so the
+        # experiment is reproducible; see docs/DESIGN.md roofline note.
+        nslots = 2 * ilv
+
         def get_dma(slot, c):
             return pltpu.make_async_copy(
                 xt_ref.at[c], xbuf.at[slot], sems.at[slot]
             )
 
-        get_dma(0, 0).start()
+        for i in range(ilv):
+            get_dma(i, i).start()
 
-        def body(c, carry):
-            slot = jax.lax.rem(c, 2)
+        def body(p, carry):
+            base = p * ilv
 
-            @pl.when(c + 1 < n_chunks)
+            @pl.when(base + ilv < n_chunks)
             def _():
-                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+                for i in range(ilv):
+                    c = base + ilv + i
+                    get_dma(jax.lax.rem(c, nslots), c).start()
 
-            get_dma(slot, c).wait()
-            return _bwd_chunk(c, xbuf[slot], carry)
+            for i in range(ilv):
+                get_dma(jax.lax.rem(base + i, nslots), base + i).wait()
+            for i in range(ilv):
+                carry = _bwd_chunk(
+                    base + i, xbuf[jax.lax.rem(base + i, nslots)], carry
+                )
+            return carry
 
-        acc = jax.lax.fori_loop(0, n_chunks, body, init)
+        acc = jax.lax.fori_loop(0, n_chunks // ilv, body, init)
         for i in range(n_layers):
             dw_refs[i][...] = acc[i]
             db_refs[i][...] = acc[n_layers + i]
@@ -629,8 +647,8 @@ def _residual_bwd_kernel(xt_ref, nv_ref, *refs, spatial: Sequence[int],
     ) + (jnp.zeros((3,), dtype=dtype),)
     pl.run_scoped(
         scoped,
-        xbuf=pltpu.VMEM((2, dp, chunk), dtype),
-        sems=pltpu.SemaphoreType.DMA((2,)),
+        xbuf=pltpu.VMEM((2 * ilv, dp, chunk), dtype),
+        sems=pltpu.SemaphoreType.DMA((2 * ilv,)),
     )
 
 
@@ -644,6 +662,19 @@ _DP = 8  # padded feature rows: the HBM-streamed (n_chunks, d_in, chunk)
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # stream working-set budget (of ~16 MB VMEM)
 _HP_VMEM_BUDGET = 6 * 1024 * 1024  # multi-pass f32 matmul scratch is 4-6×
+
+
+def _bwd_interleave() -> int:
+    """Independent chunks in flight per bwd-kernel loop iteration.
+
+    Default 1: the on-chip A/B measured ilv=2 at 0.90x and ilv=4 at 0.79x
+    of the ilv=1 throughput (no MXU/VPU co-scheduling materialized; see
+    _residual_bwd_kernel).  TPINN_BWD_ILV overrides for experiments.
+    """
+    try:
+        return max(1, int(os.environ.get("TPINN_BWD_ILV", "1")))
+    except ValueError:
+        return 1
 
 
 def _bwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
@@ -802,9 +833,21 @@ def _ns_mse_backward(params, x, gbar, n_valid, phys, chunk, interpret,
     ]
     chunk = _bwd_chunk_cap(probe_widths, expect_d_in, len(spatial), chunk,
                            jnp.asarray(x).dtype)
+    # interleave factor: ilv independent chunks in flight (MXU/VPU
+    # co-scheduling, see _residual_bwd_kernel); the per-chunk cap halves so
+    # the total live working set is unchanged
+    ilv = _bwd_interleave()
+    if ilv > 1:
+        chunk = max(256, (chunk // ilv) // 256 * 256)
     xt, w_args, b_args, widths, n, dtype = _prep_residual_args(
         params, x, chunk, expect_d_in
     )
+    if xt.shape[0] % ilv:
+        pad_chunks = ilv - xt.shape[0] % ilv
+        xt = jnp.concatenate(
+            [xt, jnp.zeros((pad_chunks,) + xt.shape[1:], dtype=xt.dtype)],
+            axis=0,
+        )
     if n_mean is None:
         n_mean = n
     nv = jnp.asarray(n if n_valid is None else n_valid,
@@ -813,7 +856,7 @@ def _ns_mse_backward(params, x, gbar, n_valid, phys, chunk, interpret,
     kernel = functools.partial(
         _residual_bwd_kernel, spatial=spatial, widths=widths, chunk=chunk,
         n_chunks=xt.shape[0], phys=dict(phys), n_mean=int(n_mean),
-        prec=_dot_precision(dtype),
+        prec=_dot_precision(dtype), ilv=ilv,
     )
     gpad = jnp.zeros((8, 128), dtype=dtype).at[0, :3].set(
         jnp.asarray(gbar, dtype=dtype)
