@@ -3,8 +3,8 @@
 Every second-order round runs under jax.default_matmul_precision("highest");
 the fused kernels respond per-dot via TPINN_HP_DOT (tpinn/pallas/
 mlp_bundle.py::_dot_precision): ``highest`` = 6-pass f32-exact, ``high`` =
-3-pass bf16_3x (~1e-7 relative — 4 orders below the 1e-3 single-pass bf16
-jitter the precision context exists to kill, at half the MXU passes).
+3-pass bf16_3x (~2e-6 relative — ~2 ½ orders below the 1e-3 single-pass
+bf16 jitter the precision context exists to kill, at half the MXU passes).
 
 This scan runs the SAME short Poiseuille campaign (Adam + a quasi-Newton
 second round on the fused-kernel loss) under both policies on the real chip

@@ -72,10 +72,11 @@ def _dot_precision(dtype):
     * ambient default → None (single-pass bf16 matmuls, the fast path; the
       first-order rounds that run here never compare loss values).
     * ambient 'highest' + float32 → the TPINN_HP_DOT policy, default
-      ``highest`` (6-pass f32-exact).  ``high`` selects the 3-pass bf16_3x
-      lowering: ~f32-grade products (~1e-7 relative, 4 orders below the
-      1e-3 bf16 noise the precision context exists to kill) at half the
-      MXU passes — flip the default after on-chip accept-test validation.
+      ``highest`` (6-pass f32-exact).  ``high`` selects a hand-built 3-pass
+      bf16_3x (``_dot_3x`` — Mosaic cannot lower Precision.HIGH itself):
+      ~2e-6-relative products (the dropped lo*lo term, ~2 ½ orders below
+      the 1e-3 bf16 noise the precision context exists to kill) at half
+      the MXU passes.
     * float64 → None (XLA's f64 emulation is exact regardless).
     """
     if dtype != jnp.float32 or not _high_precision_ambient():
@@ -88,19 +89,50 @@ def _dot_precision(dtype):
 # Per-stream MXU primitives -------------------------------------------------
 
 
+def _split_hi_lo(a):
+    """Error-free-ish bf16 split: a = hi + lo with hi exactly
+    bf16-representable; lo carries the low ~8 mantissa bits (it is rounded
+    to bf16 again inside the single-pass matmul, a second-order error)."""
+    hi = a.astype(jnp.bfloat16).astype(a.dtype)
+    return hi, a - hi
+
+
+def _dot_3x(a, b, dims, dtype):
+    """Manual bf16_3x matmul: a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ, each a SINGLE-pass
+    bf16 MXU matmul with f32 accumulation.  Mosaic refuses to lower
+    Precision.HIGH ("Unsupported dot precision"), so the 3-pass lowering
+    XLA calls bf16_3x is built by hand here.  Product error ~2e-6 relative
+    (the dropped aₗbₗ term ~2⁻¹⁸ + bf16 rounding of the lo factors) —
+    ~2 ½ orders below the 1e-3 single-pass jitter the high-precision
+    context exists to kill — at HALF the MXU passes of the 6-pass 'highest'.
+    precision=DEFAULT is explicit: None would inherit the ambient 'highest'
+    and silently 6-pass each of the three dots."""
+    ah, al = _split_hi_lo(a)
+    bh, bl = _split_hi_lo(b)
+    d = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=dtype, precision=jax.lax.Precision.DEFAULT,
+    )
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _dot_fwd(w, s, dtype, prec):
     """(in, out)ᵀ @ (in, C) -> (out, C): forward-propagate one stream."""
+    dims = (((0,), (0,)), ((), ()))
+    if prec == jax.lax.Precision.HIGH:
+        return _dot_3x(w, s, dims, dtype)
     return jax.lax.dot_general(
-        w, s, (((0,), (0,)), ((), ())),
-        preferred_element_type=dtype, precision=prec,
+        w, s, dims, preferred_element_type=dtype, precision=prec,
     )
 
 
 def _dot_bwd(w, dz, dtype, prec):
     """(in, out) @ (out, C) -> (in, C): backprop one cotangent stream."""
+    dims = (((1,), (0,)), ((), ()))
+    if prec == jax.lax.Precision.HIGH:
+        return _dot_3x(w, dz, dims, dtype)
     return jax.lax.dot_general(
-        w, dz, (((1,), (0,)), ((), ())),
-        preferred_element_type=dtype, precision=prec,
+        w, dz, dims, preferred_element_type=dtype, precision=prec,
     )
 
 
@@ -117,10 +149,13 @@ def _dot_gram(s, dz, dtype, prec):
         dz = jnp.concatenate(
             [dz, jnp.zeros((8 - out, dz.shape[1]), dz.dtype)], axis=0
         )
-    r = jax.lax.dot_general(
-        s, dz, (((1,), (1,)), ((), ())),
-        preferred_element_type=dtype, precision=prec,
-    )
+    dims = (((1,), (1,)), ((), ()))
+    if prec == jax.lax.Precision.HIGH:
+        r = _dot_3x(s, dz, dims, dtype)
+    else:
+        r = jax.lax.dot_general(
+            s, dz, dims, preferred_element_type=dtype, precision=prec,
+        )
     return r[:, :out] if out < 8 else r
 
 
@@ -664,6 +699,23 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # stream working-set budget (of ~16 MB VMEM)
 _HP_VMEM_BUDGET = 6 * 1024 * 1024  # multi-pass f32 matmul scratch is 4-6×
 
 
+def _stream_budget(dtype):
+    """VMEM budget for the streamed chunk, by the ACTUAL lowering in play.
+
+    * ambient default → 12 MB (single-pass matmuls, minimal scratch);
+    * ambient hp + TPINN_HP_DOT=high (f32) → 10 MB: the hand-built 3-pass
+      ``_dot_3x`` lowers to three DEFAULT-precision dots (no Mosaic
+      multi-pass scratch; the hi/lo split temporaries are transient and
+      ~2x one operand, far below the stored-stream footprint);
+    * ambient hp otherwise (6-pass f32 'highest', or f64 emulation) → 6 MB.
+    """
+    if not _high_precision_ambient():
+        return _VMEM_BUDGET
+    if _dot_precision(dtype) == jax.lax.Precision.HIGH:
+        return 10 * 1024 * 1024
+    return _HP_VMEM_BUDGET
+
+
 def _bwd_interleave() -> int:
     """Independent chunks in flight per bwd-kernel loop iteration.
 
@@ -701,9 +753,7 @@ def _bwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
     per_lane += 2 * S * max(widths[1:])        # transient dz/ds streams
     per_lane += 2 * dp                         # xbuf double buffer
     bytes_per_lane = per_lane * jnp.dtype(dtype).itemsize
-    budget = (_HP_VMEM_BUDGET if _high_precision_ambient()
-              else _VMEM_BUDGET)
-    cap = int(budget // bytes_per_lane) // 256 * 256
+    cap = int(_stream_budget(dtype) // bytes_per_lane) // 256 * 256
     return max(256, min(cap, np_tile))
 
 
@@ -714,9 +764,7 @@ def _fwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
     dp = max(widths[0], _DP)
     per_lane = 2 * S * max(widths[1:]) + 3 * dp
     bytes_per_lane = per_lane * jnp.dtype(dtype).itemsize
-    budget = (_HP_VMEM_BUDGET if _high_precision_ambient()
-              else _VMEM_BUDGET)
-    cap = int(budget // bytes_per_lane) // 256 * 256
+    cap = int(_stream_budget(dtype) // bytes_per_lane) // 256 * 256
     return max(256, min(cap, np_tile))
 
 
