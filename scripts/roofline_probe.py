@@ -37,7 +37,10 @@ def main():
     ap.add_argument("--width", type=int, default=32)
     ap.add_argument("--streams", type=int, default=5)
     ap.add_argument("--reps", type=int, default=96)
-    ap.add_argument("--outer", type=int, default=256)
+    # outer sized so one timed loop call does >=1 s of work: the axon
+    # tunnel's per-dispatch overhead (~0.1 s) otherwise dominates and the
+    # probe reads latency, not unit throughput
+    ap.add_argument("--outer", type=int, default=32768)
     ap.add_argument("--hp", action="store_true",
                     help="probe under default_matmul_precision('highest') "
                          "with the TPINN_HP_DOT per-dot policy")
@@ -74,13 +77,15 @@ def main():
             return out
 
         # block_until_ready does not reliably block through the axon remote
-        # tunnel — force a host transfer of one element inside the timing
+        # tunnel — force a host transfer of one element inside the timing.
+        # MIN over reps: per-call tunnel-dispatch jitter only ever ADDS time
         _ = float(loop(w, streams)[0, 0, 0])
-        t0 = time.perf_counter()
-        reps_outer = 3
-        for _i in range(reps_outer):
+        times = []
+        for _i in range(4):
+            t0 = time.perf_counter()
             _ = float(loop(w, streams)[0, 0, 0])
-        dt = (time.perf_counter() - t0) / reps_outer
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
         rate = flops_per_outer * args.outer / dt
         print(json.dumps({"probe": tag, "rate_per_sec": rate,
                           "seconds": dt, "chunk": C, "width": W,
