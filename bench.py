@@ -37,6 +37,7 @@ Prints ONE JSON line; headline metric unchanged across rounds
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -477,6 +478,7 @@ def main(argv=None):
 
     pallas_train_pts = None
     hp_train_pts = None
+    hp3_train_pts = None
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and not args.no_pallas:
         try:
@@ -493,6 +495,21 @@ def main(argv=None):
         except Exception as e:  # pragma: no cover
             print(f"highest-precision train bench failed: {e}",
                   file=sys.stderr)
+        # the 3-pass bf16_3x per-dot policy (TPINN_HP_DOT=high): measured
+        # ~1.5x the 6-pass rate at 2-3e-5 relative deviation
+        # (docs/DESIGN.md §3b); record it so the opt-in has a pinned number
+        try:
+            os.environ["TPINN_HP_DOT"] = "high"
+            jax.clear_caches()
+            hp3_train_pts, _, _ = bench_train_step(
+                model, params, norm, physics, x, args.iters,
+                use_pallas=True, highest=True,
+            )
+        except Exception as e:  # pragma: no cover
+            hp3_train_pts = None
+            print(f"bf16_3x train bench failed: {e}", file=sys.stderr)
+        finally:
+            os.environ.pop("TPINN_HP_DOT", None)
 
     dev_kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(dev_kind)
@@ -599,6 +616,9 @@ def main(argv=None):
         ),
         "hp_train_pts_per_sec": (
             round(hp_train_pts, 1) if hp_train_pts else None
+        ),
+        "hp_train_bf16_3x_pts_per_sec": (
+            round(hp3_train_pts, 1) if hp3_train_pts else None
         ),
         "train_default": (
             "pallas"

@@ -744,6 +744,11 @@ def _bwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
       column);
     * two generations of transient dz/ds streams during the reverse walk;
     * the double-buffered (2, dp, chunk) input scratch.
+
+    The chunk-independent dW/db accumulator carry (per-layer (in, out)
+    Grams + biases) is subtracted from the budget up front — negligible at
+    3×32 (~42 KB) but quadratic in width, so wide nets shrink the chunk
+    instead of silently overflowing VMEM (round-3 advisor finding).
     """
     S = 1 + d_in + n_h
     dp = max(widths[0], _DP)
@@ -752,8 +757,13 @@ def _bwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
     per_lane += sum((1 + d_in + n_h) * w for w in hidden)  # tp, zg, zh
     per_lane += 2 * S * max(widths[1:])        # transient dz/ds streams
     per_lane += 2 * dp                         # xbuf double buffer
-    bytes_per_lane = per_lane * jnp.dtype(dtype).itemsize
-    cap = int(_stream_budget(dtype) // bytes_per_lane) // 256 * 256
+    itemsize = jnp.dtype(dtype).itemsize
+    bytes_per_lane = per_lane * itemsize
+    carry_bytes = sum(
+        (max(a, _DP) + 1) * b for a, b in zip(widths[:-1], widths[1:])
+    ) * itemsize
+    budget = max(_stream_budget(dtype) - 2 * carry_bytes, 256 * bytes_per_lane)
+    cap = int(budget // bytes_per_lane) // 256 * 256
     return max(256, min(cap, np_tile))
 
 
