@@ -510,6 +510,10 @@ def main(argv=None):
             print(f"bf16_3x train bench failed: {e}", file=sys.stderr)
         finally:
             os.environ.pop("TPINN_HP_DOT", None)
+            # drop traces keyed under the 'high' policy: the env var is read
+            # at trace time, so a lingering cache entry would silently serve
+            # the 3-pass lowering to any later identical-signature call
+            jax.clear_caches()
 
     dev_kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(dev_kind)

@@ -279,6 +279,38 @@ def test_high_precision_ambient_detection():
     assert not _high_precision_ambient()
 
 
+def test_bwd_chunk_cap_accounts_for_gram_carry():
+    """The streamed-bwd chunk cap must leave room for the chunk-independent
+    dW/db accumulator carry (per-layer (in, out) Grams + biases) — quadratic
+    in width, so wide nets shrink the chunk instead of silently overflowing
+    the scoped VMEM (round-3 advisor finding)."""
+    from tpinn.pallas.mlp_bundle import _DP, _bwd_chunk_cap, _stream_budget
+
+    # standard 3x32 net: the ~42 KB carry is noise against the budget; the
+    # cap stays generous and 256-quantized
+    cap_std = _bwd_chunk_cap((2, 32, 32, 32, 3), 2, 2, 1 << 20, jnp.float32)
+    assert cap_std >= 1024 and cap_std % 256 == 0
+
+    # sweep widths/depths: streamed footprint + double-buffered carry must
+    # fit the budget (recomputed from the documented live-bytes inventory),
+    # unless the cap has already bottomed out at the 256 floor
+    for widths in [(2, 32, 32, 32, 3), (2, 128, 128, 128, 3),
+                   (3, 256, 256, 3), (2, 512, 512, 512, 512),
+                   (2, 64, 64, 64, 64, 64, 3)]:
+        d_in, n_h = widths[0], widths[0]
+        cap = _bwd_chunk_cap(widths, d_in, n_h, 1 << 20, jnp.float32)
+        assert cap % 256 == 0 and cap >= 256
+        S = 1 + d_in + n_h
+        dp = max(widths[0], _DP)
+        hidden = list(widths[1:-1])
+        per_lane = (dp + S * sum(hidden) + S * sum(hidden)
+                    + 2 * S * max(widths[1:]) + 2 * dp) * 4
+        carry = sum((max(a, _DP) + 1) * b
+                    for a, b in zip(widths[:-1], widths[1:])) * 4
+        fits = cap * per_lane + 2 * carry <= _stream_budget(jnp.float32)
+        assert fits or cap == 256, (widths, cap)
+
+
 @pytest.mark.slow
 def test_ns_residual_mse_high_precision_chunk_cap():
     """Under the highest-precision context the fused kernels cap the chunk
