@@ -859,8 +859,19 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     # f64-on-TPU campaign — RESULTS_TPU.md).  Available when every training
     # loss exposes LossMeanSquares.point_residual (driver-built cases);
     # verified against the batch closures at theta0 before being trusted.
-    point_entries = (None if split
-                     else _collect_point_entries(pb, unravel, res_jit, theta0))
+    #
+    # Under the split carry the fast Gram composes exactly with the
+    # linearized evaluation (round-4 finding: this path used to fall back
+    # to the 5.4×-slower chunked Jacobian): with G = ∇r at the f32 hi
+    # point, r(hi+lo) ≈ r(hi) + G·lo gives
+    #     JᵀJ(hi+lo) ≈ GᵀG   and   Jᵀr(hi+lo) ≈ Gᵀr(hi) + (GᵀG)·lo,
+    # so the lo correction to the gradient is JTJ @ lo, applied in host
+    # float64 — the SAME first-order model the chunked-split path computes
+    # (its gram_split Jᵀdr term equals JᵀJ·lo with dr = J·lo) and the same
+    # linearization the accept test (res_lin) certifies steps with.  The
+    # O(‖lo‖) error in J itself is far below LM's own Gauss–Newton
+    # approximation error.
+    point_entries = _collect_point_entries(pb, unravel, res_jit, theta0)
     # exposed for tests / the multichip dryrun: certifies the fast per-point
     # Gram path was actually used (vs the chunked-jvp fallback), including
     # under a device mesh where the Gram psums per shard via GSPMD
@@ -887,12 +898,23 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
 
         def normal_eqs(theta64):
             rv = _eval_res(theta64)
+            if split:
+                hi, _ = _split64(theta64)
+                JTJ, JTr_hi = gram_fast(hi)
+                JTJ = np.asarray(JTJ)
+                lo64 = theta64.astype(np.float64) - np.asarray(hi, np.float64)
+                JTr = (np.asarray(JTr_hi, np.float64)
+                       + JTJ.astype(np.float64) @ lo64)
+                return rv, JTJ, JTr
             JTJ, JTr = gram_fast(
                 jnp.asarray(theta64.astype(np.result_type(dtype)))
             )
             return rv, np.asarray(JTJ), np.asarray(JTr, np.float64)
     else:
         normal_eqs = _normal_eqs_chunked
+    # test hook: lets tests pin the (pure) normal-equations map against a
+    # dense-Jacobian reference without re-deriving the internal closures
+    pb.lm_normal_eqs = normal_eqs
 
     pb.history.start_round("jax_LM")
     pb.last_round_name = "jax_LM"
