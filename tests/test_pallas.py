@@ -1,6 +1,8 @@
 """Pallas fused-bundle kernel vs the jet-based XLA path (interpret mode on
 CPU; the compiled path is exercised on TPU by bench.py)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -235,6 +237,8 @@ def test_dot_precision_policy(monkeypatch):
         assert _dot_precision(jnp.float32) == jax.lax.Precision.HIGH
         monkeypatch.setenv("TPINN_HP_DOT", "highest")
         assert _dot_precision(jnp.float32) == jax.lax.Precision.HIGHEST
+        monkeypatch.setenv("TPINN_HP_DOT", "mosaic")
+        assert _dot_precision(jnp.float32) == "mosaic"
 
 
 def test_dot_3x_accuracy():
@@ -263,6 +267,69 @@ def test_dot_3x_accuracy():
     assert np.median(rel) < np.median(rel1) / 100
 
 
+def test_split_3way_exact():
+    """_split_3way must be an EXACT decomposition (a0+a1+a2 == a bit-for-
+    bit) with every term exactly bf16-representable — the property that
+    makes the packed bf16_6x dot f32-exact on the MXU."""
+    from tpinn.pallas.mlp_bundle import _split_3way
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(
+        rng.standard_normal((64, 96)) * np.exp(rng.uniform(-20, 20, (64, 96))),
+        jnp.float32,
+    )
+    a0, a1, a2 = _split_3way(a)
+    np.testing.assert_array_equal(np.asarray(a0 + a1 + a2), np.asarray(a))
+    for t in (a0, a1):
+        np.testing.assert_array_equal(
+            np.asarray(t), np.asarray(t.astype(jnp.bfloat16).astype(t.dtype))
+        )
+
+
+def test_dot_6x_f32_exact_class():
+    """The packed bf16_6x dot (_dot_6x): vs an f64 reference its error must
+    sit in the f32-exact class (the six retained products cover all terms
+    >= 2^-40 relative) — and both the packed (K<=128) and the native-HIGHEST
+    fallback (K>128) branches must agree with the reference."""
+    from tpinn.pallas.mlp_bundle import _dot_6x
+
+    rng = np.random.default_rng(17)
+    dims = (((0,), (0,)), ((), ()))
+    for K, M, N in [(96, 104, 512), (256, 32, 512)]:
+        a64 = rng.standard_normal((K, M)) * np.exp(rng.uniform(-3, 3, (K, M)))
+        b64 = rng.standard_normal((K, N)) * np.exp(rng.uniform(-3, 3, (K, N)))
+        ref = a64.T @ b64
+        out = _dot_6x(jnp.asarray(a64, jnp.float32),
+                      jnp.asarray(b64, jnp.float32), dims, jnp.float32)
+        rel = np.abs(np.asarray(out, np.float64) - ref) / (np.abs(ref) + 1e-30)
+        # f32-exact class: product rounding + K-term f32 accumulation
+        assert np.median(rel) < 5e-7, (K, np.median(rel))
+        assert np.max(rel[np.abs(ref) > np.abs(ref).mean()]) < 1e-4, K
+
+
+def test_dot_3x_packed_matches_additive():
+    """_dot_3x's contraction-depth-packed branch (K<=128) must compute the
+    identical three products as the additive 3-dot form (same hi/lo split,
+    same DEFAULT-precision dots) up to f32 accumulation order — one K=3·96
+    chain vs three K=96 chains + adds reassociates the sum, so agreement is
+    to the f32 accumulation class (~1e-6 relative), not bit-exact."""
+    from tpinn.pallas.mlp_bundle import _dot_3x, _split_hi_lo
+
+    rng = np.random.default_rng(23)
+    dims = (((0,), (0,)), ((), ()))
+    a = jnp.asarray(rng.standard_normal((96, 104)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((96, 512)), jnp.float32)
+    packed = _dot_3x(a, b, dims, jnp.float32)
+    ah, al = _split_hi_lo(a)
+    bh, bl = _split_hi_lo(b)
+    d = lambda x, y: jax.lax.dot_general(  # noqa: E731
+        x, y, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    additive = d(ah, bh) + d(ah, bl) + d(al, bh)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(additive),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_high_precision_ambient_detection():
     """minimize() wraps rounds in default_matmul_precision('highest'); the
     kernels read that ambient config at trace time to shrink their streamed
@@ -283,32 +350,59 @@ def test_bwd_chunk_cap_accounts_for_gram_carry():
     """The streamed-bwd chunk cap must leave room for the chunk-independent
     dW/db accumulator carry (per-layer (in, out) Grams + biases) — quadratic
     in width, so wide nets shrink the chunk instead of silently overflowing
-    the scoped VMEM (round-3 advisor finding)."""
-    from tpinn.pallas.mlp_bundle import _DP, _bwd_chunk_cap, _stream_budget
+    the scoped VMEM (round-3 advisor finding).  Nets whose 256-lane FLOOR
+    would still overflow must raise, not silently accept the overflow
+    (round-4 advisor finding)."""
+    from tpinn.pallas.mlp_bundle import (_bwd_chunk_cap, _bwd_lane_bytes,
+                                         _stream_budget, bwd_chunk_fits)
 
     # standard 3x32 net: the ~42 KB carry is noise against the budget; the
     # cap stays generous and 256-quantized
     cap_std = _bwd_chunk_cap((2, 32, 32, 32, 3), 2, 2, 1 << 20, jnp.float32)
     assert cap_std >= 1024 and cap_std % 256 == 0
 
-    # sweep widths/depths: streamed footprint + double-buffered carry must
-    # fit the budget (recomputed from the documented live-bytes inventory),
-    # unless the cap has already bottomed out at the 256 floor
+    # sweep widths/depths that FIT: streamed footprint + double-buffered
+    # carry must sit inside the budget at the returned cap (checked against
+    # the kernel's own live-bytes inventory, _bwd_lane_bytes — the numbers
+    # a real launch allocates)
     for widths in [(2, 32, 32, 32, 3), (2, 128, 128, 128, 3),
-                   (3, 256, 256, 3), (2, 512, 512, 512, 512),
-                   (2, 64, 64, 64, 64, 64, 3)]:
+                   (3, 256, 256, 3), (2, 64, 64, 64, 64, 64, 3)]:
         d_in, n_h = widths[0], widths[0]
+        assert bwd_chunk_fits(widths, d_in, n_h, jnp.float32), widths
         cap = _bwd_chunk_cap(widths, d_in, n_h, 1 << 20, jnp.float32)
         assert cap % 256 == 0 and cap >= 256
-        S = 1 + d_in + n_h
-        dp = max(widths[0], _DP)
-        hidden = list(widths[1:-1])
-        per_lane = (dp + S * sum(hidden) + S * sum(hidden)
-                    + 2 * S * max(widths[1:]) + 2 * dp) * 4
-        carry = sum((max(a, _DP) + 1) * b
-                    for a, b in zip(widths[:-1], widths[1:])) * 4
-        fits = cap * per_lane + 2 * carry <= _stream_budget(jnp.float32)
-        assert fits or cap == 256, (widths, cap)
+        per_lane, carry = _bwd_lane_bytes(widths, d_in, n_h, jnp.float32)
+        assert cap * per_lane + 2 * carry <= _stream_budget(jnp.float32), (
+            widths, cap)
+
+    # a net whose 256-lane floor overflows must refuse loudly — and the
+    # fits-predicate that routes such nets to the XLA jet path must agree
+    wide = (2, 512, 512, 512, 512)
+    assert not bwd_chunk_fits(wide, 2, 2, jnp.float32)
+    with pytest.raises(ValueError, match="cannot fit"):
+        _bwd_chunk_cap(wide, 2, 2, 1 << 20, jnp.float32)
+
+
+def test_use_fused_pde_losses_falls_back_for_wide_nets():
+    """The fused-kernel routing predicate must send nets too wide for the
+    streamed-bwd VMEM floor to the XLA jet path with a warning instead of
+    letting the kernel launch overflow (round-4 advisor finding)."""
+    import warnings
+
+    from tpinn.models import Model
+    from tpinn.pipeline import use_fused_pde_losses
+
+    os.environ["TPINN_USE_PALLAS"] = "1"
+    try:
+        ok = Model([2, 32, 32, 32, 3], dtype=jnp.float32)
+        assert use_fused_pde_losses(ok, False, 2)
+        wide = Model([2, 512, 512, 512, 512], dtype=jnp.float32)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert not use_fused_pde_losses(wide, False, 2)
+        assert any("VMEM budget" in str(x.message) for x in w)
+    finally:
+        del os.environ["TPINN_USE_PALLAS"]
 
 
 @pytest.mark.slow

@@ -67,23 +67,33 @@ def _high_precision_ambient() -> bool:
 
 
 def _dot_precision(dtype):
-    """Per-dot precision for the kernels' internal matmuls.
+    """Per-dot precision policy for the kernels' internal matmuls.
 
     * ambient default → None (single-pass bf16 matmuls, the fast path; the
       first-order rounds that run here never compare loss values).
-    * ambient 'highest' + float32 → the TPINN_HP_DOT policy, default
-      ``highest`` (6-pass f32-exact).  ``high`` selects a hand-built 3-pass
-      bf16_3x (``_dot_3x`` — Mosaic cannot lower Precision.HIGH itself):
-      ~2e-6-relative products (the dropped lo*lo term, ~2 ½ orders below
-      the 1e-3 bf16 noise the precision context exists to kill) at half
-      the MXU passes.
+    * ambient 'highest' + float32 → the TPINN_HP_DOT policy:
+        - ``highest`` (default): f32-exact bf16_6x with contraction-depth
+          packing (``_dot_6x`` — the six products of XLA's HIGHEST
+          lowering computed in ceil(6·width/128) MXU passes instead of 6;
+          measured 2.0e8 vs Mosaic's 9.2e7 pts/s on the one-pass train
+          kernel, same precision class);
+        - ``high``: hand-built 3-pass bf16_3x (``_dot_3x``, also packed):
+          ~2e-6-relative products (the dropped lo·lo term, ~2 ½ orders
+          below the 1e-3 bf16 noise the precision context exists to kill)
+          at ⅔ the packed-6x passes;
+        - ``mosaic``: Mosaic's native 6-pass HIGHEST lowering — the
+          rounds-2–4 campaign lowering, kept for bit-parity reruns of
+          committed artifacts.
     * float64 → None (XLA's f64 emulation is exact regardless).
     """
     if dtype != jnp.float32 or not _high_precision_ambient():
         return None
     env = os.environ.get("TPINN_HP_DOT", "highest").lower()
-    return (jax.lax.Precision.HIGH if env == "high"
-            else jax.lax.Precision.HIGHEST)
+    if env == "high":
+        return jax.lax.Precision.HIGH
+    if env == "mosaic":
+        return "mosaic"
+    return jax.lax.Precision.HIGHEST
 
 
 # Per-stream MXU primitives -------------------------------------------------
@@ -98,42 +108,111 @@ def _split_hi_lo(a):
 
 
 def _dot_3x(a, b, dims, dtype):
-    """Manual bf16_3x matmul: a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ, each a SINGLE-pass
-    bf16 MXU matmul with f32 accumulation.  Mosaic refuses to lower
-    Precision.HIGH ("Unsupported dot precision"), so the 3-pass lowering
-    XLA calls bf16_3x is built by hand here.  Product error ~2e-6 relative
-    (the dropped aₗbₗ term ~2⁻¹⁸ + bf16 rounding of the lo factors) —
-    ~2 ½ orders below the 1e-3 single-pass jitter the high-precision
-    context exists to kill — at HALF the MXU passes of the 6-pass 'highest'.
+    """Manual bf16_3x matmul: a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ with f32 MXU
+    accumulation.  Mosaic refuses to lower Precision.HIGH ("Unsupported dot
+    precision"), so the 3-pass lowering XLA calls bf16_3x is built by hand
+    here.  Product error ~2e-6 relative (the dropped aₗbₗ term ~2⁻¹⁸ + bf16
+    rounding of the lo factors) — ~2 ½ orders below the 1e-3 single-pass
+    jitter the high-precision context exists to kill.
     precision=DEFAULT is explicit: None would inherit the ambient 'highest'
-    and silently 6-pass each of the three dots."""
+    and silently 6-pass each product.
+
+    Contraction-depth packing (round 5): the MXU consumes up to 128
+    contraction rows per pass, so a K=32 dot wastes ¾ of the array and
+    three separate K=32 dots cost three passes.  Stacking the hi/lo
+    factors along the CONTRACTION axis —
+
+        [aₕ; aₕ; aₗ] · [bₕ; bₗ; bₕ]   (one K=3·32=96 dot)
+
+    — computes the identical three products inside ONE MXU accumulation:
+    ⅓ the passes AND the two (out, C) adds between dots become free.
+    Applied when the contraction depth is a sublane axis (K ≤ 128, the
+    width dots of the fwd/bwd walks); the dW Gram dots contract over the
+    LANE axis (K = chunk ≥ 256) where packing saves no passes and the
+    concat copies are large, so they keep the additive 3-dot form."""
+    ((ca,), (cb,)), _ = dims
     ah, al = _split_hi_lo(a)
     bh, bl = _split_hi_lo(b)
     d = functools.partial(
         jax.lax.dot_general, dimension_numbers=dims,
         preferred_element_type=dtype, precision=jax.lax.Precision.DEFAULT,
     )
+    if a.shape[ca] <= 128:
+        a3 = jnp.concatenate([ah, ah, al], axis=ca)
+        b3 = jnp.concatenate([bh, bl, bh], axis=cb)
+        return d(a3, b3)
     return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _split_3way(a):
+    """Exact 3-term bf16 split: a = a0 + a1 + a2 with every term exactly
+    bf16-representable — 8+8+8 mantissa bits cover f32's 24 (the same split
+    XLA's bf16_6x uses for Precision.HIGHEST on the MXU)."""
+    a0 = a.astype(jnp.bfloat16).astype(a.dtype)
+    r = a - a0
+    a1 = r.astype(jnp.bfloat16).astype(a.dtype)
+    a2 = r - a1
+    return a0, a1, a2
+
+
+def _dot_6x(a, b, dims, dtype):
+    """f32-exact bf16_6x matmul with contraction-depth packing.
+
+    XLA lowers Precision.HIGHEST for bf16-MXU hardware as six single-pass
+    products over 3-way splits (Σ aᵢbⱼ for i+j ≤ 2; the dropped i+j ≥ 3
+    terms sit at ~2⁻⁴⁰, below f32 product precision).  Mosaic lowers the
+    same six passes in-kernel — each a K=width dot that uses width/128 of
+    the MXU's contraction depth.  Packing the six factor pairs along the
+    contraction axis instead —
+
+        [a₀;a₀;a₁;a₀;a₁;a₂] · [b₀;b₁;b₀;b₂;b₁;b₀]   (one K=6·width dot)
+
+    — computes the identical six products inside ONE MXU accumulation:
+    ceil(6·width/128) passes instead of 6 (width 32: 2 vs 6) at the same
+    f32-exact precision class (single f32 accumulation chain vs Mosaic's
+    six partial sums; both accumulate every product in f32).  Used for the
+    sublane-contraction dots (K ≤ 128); lane-contraction Gram dots
+    (K = chunk) gain nothing from packing and keep Mosaic's native
+    HIGHEST lowering."""
+    ((ca,), (cb,)), _ = dims
+    if a.shape[ca] > 128:
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    a0, a1, a2 = _split_3way(a)
+    b0, b1, b2 = _split_3way(b)
+    a6 = jnp.concatenate([a0, a0, a1, a0, a1, a2], axis=ca)
+    b6 = jnp.concatenate([b0, b1, b0, b2, b1, b0], axis=cb)
+    return jax.lax.dot_general(
+        a6, b6, dims, preferred_element_type=dtype,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _dot_dispatch(a, b, dims, dtype, prec):
+    """Route one kernel dot through the TPINN_HP_DOT policy (see
+    ``_dot_precision``): HIGHEST → packed bf16_6x, HIGH → packed bf16_3x,
+    'mosaic' → Mosaic's native HIGHEST lowering, None → single-pass bf16."""
+    if prec == jax.lax.Precision.HIGHEST:
+        return _dot_6x(a, b, dims, dtype)
+    if prec == jax.lax.Precision.HIGH:
+        return _dot_3x(a, b, dims, dtype)
+    if prec == "mosaic":
+        prec = jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=dtype, precision=prec,
+    )
 
 
 def _dot_fwd(w, s, dtype, prec):
     """(in, out)ᵀ @ (in, C) -> (out, C): forward-propagate one stream."""
-    dims = (((0,), (0,)), ((), ()))
-    if prec == jax.lax.Precision.HIGH:
-        return _dot_3x(w, s, dims, dtype)
-    return jax.lax.dot_general(
-        w, s, dims, preferred_element_type=dtype, precision=prec,
-    )
+    return _dot_dispatch(w, s, (((0,), (0,)), ((), ())), dtype, prec)
 
 
 def _dot_bwd(w, dz, dtype, prec):
     """(in, out) @ (out, C) -> (in, C): backprop one cotangent stream."""
-    dims = (((1,), (0,)), ((), ()))
-    if prec == jax.lax.Precision.HIGH:
-        return _dot_3x(w, dz, dims, dtype)
-    return jax.lax.dot_general(
-        w, dz, dims, preferred_element_type=dtype, precision=prec,
-    )
+    return _dot_dispatch(w, dz, (((1,), (0,)), ((), ())), dtype, prec)
 
 
 def _dot_gram(s, dz, dtype, prec):
@@ -149,13 +228,7 @@ def _dot_gram(s, dz, dtype, prec):
         dz = jnp.concatenate(
             [dz, jnp.zeros((8 - out, dz.shape[1]), dz.dtype)], axis=0
         )
-    dims = (((1,), (1,)), ((), ()))
-    if prec == jax.lax.Precision.HIGH:
-        r = _dot_3x(s, dz, dims, dtype)
-    else:
-        r = jax.lax.dot_general(
-            s, dz, dims, preferred_element_type=dtype, precision=prec,
-        )
+    r = _dot_dispatch(s, dz, (((1,), (1,)), ((), ())), dtype, prec)
     return r[:, :out] if out < 8 else r
 
 
@@ -703,16 +776,23 @@ def _stream_budget(dtype):
     """VMEM budget for the streamed chunk, by the ACTUAL lowering in play.
 
     * ambient default → 12 MB (single-pass matmuls, minimal scratch);
-    * ambient hp + TPINN_HP_DOT=high (f32) → 10 MB: the hand-built 3-pass
-      ``_dot_3x`` lowers to three DEFAULT-precision dots (no Mosaic
-      multi-pass scratch; the hi/lo split temporaries are transient and
-      ~2x one operand, far below the stored-stream footprint);
-    * ambient hp otherwise (6-pass f32 'highest', or f64 emulation) → 6 MB.
+    * ambient hp + TPINN_HP_DOT=high (f32) → 10 MB: the hand-built packed
+      ``_dot_3x`` lowers to DEFAULT-precision dots (no Mosaic multi-pass
+      scratch; the hi/lo split + concat temporaries are transient and a
+      few × one operand, below the stored-stream footprint);
+    * ambient hp default (f32 'highest') → 9 MB: packed ``_dot_6x`` is
+      also DEFAULT-precision dots, but its 6× contraction-stacked
+      temporaries are larger than the 3x path's;
+    * TPINN_HP_DOT=mosaic, or f64 emulation → 6 MB (Mosaic's in-kernel
+      multi-pass scratch is 4-6× a single-pass dot's).
     """
     if not _high_precision_ambient():
         return _VMEM_BUDGET
-    if _dot_precision(dtype) == jax.lax.Precision.HIGH:
-        return 10 * 1024 * 1024
+    prec = _dot_precision(dtype)
+    if prec == jax.lax.Precision.HIGH:
+        return int(os.environ.get("TPINN_HP3_BUDGET_MB", "10")) * 1024 * 1024
+    if prec == jax.lax.Precision.HIGHEST:
+        return int(os.environ.get("TPINN_HP6_BUDGET_MB", "9")) * 1024 * 1024
     return _HP_VMEM_BUDGET
 
 
@@ -750,6 +830,27 @@ def _bwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
     3×32 (~42 KB) but quadratic in width, so wide nets shrink the chunk
     instead of silently overflowing VMEM (round-3 advisor finding).
     """
+    bytes_per_lane, carry_bytes = _bwd_lane_bytes(widths, d_in, n_h, dtype)
+    budget = _stream_budget(dtype) - 2 * carry_bytes
+    if 256 * bytes_per_lane > budget:
+        # even the minimum 256-lane chunk overflows the scoped-VMEM budget
+        # (round-4 advisor finding: the old max(budget, 256*bytes) floor
+        # silently accepted the overflow).  Callers that can fall back to
+        # the XLA jet path should pre-check bwd_chunk_fits().
+        raise ValueError(
+            f"fused bwd kernel cannot fit widths {tuple(widths)} in the "
+            f"{_stream_budget(dtype) >> 20} MB stream budget: 256-lane "
+            f"floor needs {256 * bytes_per_lane + 2 * carry_bytes} bytes "
+            f"({256 * bytes_per_lane} streams + {2 * carry_bytes} carry); "
+            "route this net through the XLA jet path instead"
+        )
+    cap = int(budget // bytes_per_lane) // 256 * 256
+    return max(256, min(cap, np_tile))
+
+
+def _bwd_lane_bytes(widths, d_in, n_h, dtype):
+    """(bytes per chunk lane, dW/db carry bytes) — the live-VMEM inventory
+    of the streamed bwd kernel documented in :func:`_bwd_chunk_cap`."""
     S = 1 + d_in + n_h
     dp = max(widths[0], _DP)
     hidden = list(widths[1:-1])
@@ -758,13 +859,19 @@ def _bwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):
     per_lane += 2 * S * max(widths[1:])        # transient dz/ds streams
     per_lane += 2 * dp                         # xbuf double buffer
     itemsize = jnp.dtype(dtype).itemsize
-    bytes_per_lane = per_lane * itemsize
     carry_bytes = sum(
         (max(a, _DP) + 1) * b for a, b in zip(widths[:-1], widths[1:])
     ) * itemsize
-    budget = max(_stream_budget(dtype) - 2 * carry_bytes, 256 * bytes_per_lane)
-    cap = int(budget // bytes_per_lane) // 256 * 256
-    return max(256, min(cap, np_tile))
+    return per_lane * itemsize, carry_bytes
+
+
+def bwd_chunk_fits(widths, d_in, n_h, dtype) -> bool:
+    """True when the streamed bwd kernel's 256-lane minimum chunk fits the
+    scoped-VMEM budget for this net — the routing predicate
+    use_fused_pde_losses uses to fall back to the XLA jet path for nets too
+    wide for the fused kernels (round-4 advisor finding)."""
+    bytes_per_lane, carry_bytes = _bwd_lane_bytes(widths, d_in, n_h, dtype)
+    return 256 * bytes_per_lane + 2 * carry_bytes <= _stream_budget(dtype)
 
 
 def _fwd_chunk_cap(widths, d_in, n_h, np_tile, dtype):

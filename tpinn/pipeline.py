@@ -319,6 +319,21 @@ def use_fused_pde_losses(model: Model, spec_unsteady: bool, dim_in: int,
     eligible = dim_in == (3 if spec_unsteady else 2) and plain
     if not eligible:
         return False
+    from tpinn.pallas.mlp_bundle import bwd_chunk_fits
+
+    if not bwd_chunk_fits(model.layer_sizes, dim_in, 2, model.dtype):
+        # net too wide for the streamed bwd kernel's minimum 256-lane
+        # chunk (round-4 advisor finding): fall back to the XLA jet path
+        # rather than overflow the scoped VMEM
+        import warnings
+
+        warnings.warn(
+            f"fused PDE-loss kernels disabled: widths {model.layer_sizes} "
+            "exceed the streamed-bwd VMEM budget at the 256-lane floor; "
+            "using the XLA jet path",
+            stacklevel=2,
+        )
+        return False
     if env is not None:  # forced on (tests use interpret-mode-capable CPU)
         return True
     return jax.default_backend() == "tpu"
