@@ -51,7 +51,7 @@ PEAK_FLOPS = {  # bf16 peak per chip
 }
 
 
-def _setup(dtype_name):
+def _setup(dtype_name, width=32, depth=3):
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +60,7 @@ def _setup(dtype_name):
     from tpinn.pipeline import NSPhysics
 
     dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
-    model = MLP(2, 3, width=32, depth=3, seed=0)
+    model = MLP(2, 3, width=width, depth=depth, seed=0)
     params = jax.tree_util.tree_map(lambda a: a.astype(dtype), model.params)
     model.params = params
     norm = Normalization(np.array([0.0, 500.0]), np.array([0.0, 250.0]),
@@ -433,6 +433,12 @@ def main(argv=None):
     ap.add_argument("--baseline-iters", type=int, default=5)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--width", type=int, default=32,
+                    help="hidden width of the benched MLP (default 32, the "
+                         "reference architecture; use 64/128 for the "
+                         "width-scaling envelope — docs/DESIGN.md §3b)")
+    ap.add_argument("--depth", type=int, default=3,
+                    help="hidden depth of the benched MLP (default 3)")
     ap.add_argument("--cpu-fallback", action="store_true",
                     help=argparse.SUPPRESS)  # set by the self re-exec below
     args = ap.parse_args(argv)
@@ -465,7 +471,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    model, params, norm, physics, dtype = _setup("float32")
+    model, params, norm, physics, dtype = _setup(
+        "float32", width=args.width, depth=args.depth
+    )
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (args.points, 2)), dtype=dtype
     )
@@ -540,7 +548,9 @@ def main(argv=None):
     # cost_analysis proxy needed.  Also estimate the VPU (elementwise)
     # op rate for the roofline: the Taylor-stream activation algebra is
     # the train step's suspected bound, not the MXU.
-    work = analytic_kernel_work_per_point()
+    work = analytic_kernel_work_per_point(
+        widths=(2,) + (args.width,) * args.depth + (3,)
+    )
     best_train_pts = max(
         [p for p in (train_pts, pallas_train_pts) if p] or [0]
     )
@@ -562,20 +572,31 @@ def main(argv=None):
     # keeps every round's ratio reproducible against either).  Primary: the
     # reference's ACTUAL stack (TF2 eager GradientTape, f64 CPU).
     baselines = {}
-    try:
-        tf_pts, _ = bench_tf_reference_style(
-            args.baseline_points, args.baseline_iters
-        )
-        baselines["tf2_eager_f64_cpu"] = round(tf_pts, 1)
-    except Exception as e:
-        print(f"TF baseline failed: {e}", file=sys.stderr)
-    try:
-        torch_pts, _ = bench_torch_reference_style(
-            args.baseline_points, args.baseline_iters
-        )
-        baselines["torch_cpu_f64"] = round(torch_pts, 1)
-    except Exception as e:
-        print(f"torch baseline failed: {e}", file=sys.stderr)
+    if args.width == 32 and args.depth == 3:
+        # CPU baselines are only meaningful against the reference's 3x32
+        # architecture; width-envelope runs skip them (vs_baseline: null)
+        # Max of 3 repeats per baseline (round-4 advisor finding: one-shot
+        # captures swung 40-82% between rounds under host-CPU contention,
+        # making the headline multiplier unreliable).  Contention can only
+        # SLOW a baseline down, so the max across repeats is the fairest
+        # (and most conservative-speedup) estimate of its real throughput.
+        def _best_of(fn, n=3):
+            best = None
+            for _ in range(n):
+                pts, _ = fn(args.baseline_points, args.baseline_iters)
+                best = pts if best is None else max(best, pts)
+            return best
+
+        try:
+            baselines["tf2_eager_f64_cpu"] = round(
+                _best_of(bench_tf_reference_style), 1)
+        except Exception as e:
+            print(f"TF baseline failed: {e}", file=sys.stderr)
+        try:
+            baselines["torch_cpu_f64"] = round(
+                _best_of(bench_torch_reference_style), 1)
+        except Exception as e:
+            print(f"torch baseline failed: {e}", file=sys.stderr)
     if "tf2_eager_f64_cpu" in baselines:
         base_pts_per_sec = baselines["tf2_eager_f64_cpu"]
         baseline_impl = "tf2-eager GradientTape, float64 CPU (the reference's actual stack)"
@@ -630,6 +651,12 @@ def main(argv=None):
             else "xla"
         ),
     }
+    if args.width != 32 or args.depth != 3:
+        # width-scaling envelope run (docs/DESIGN.md §3b): annotate and do
+        # NOT overwrite the reference-architecture capture or claim the
+        # 3x32 baselines' vs_baseline ratio
+        result["widths"] = [2] + [args.width] * args.depth + [3]
+        result["vs_baseline"] = None
     if args.cpu_fallback:
         # Honest label: these are host-CPU numbers recorded because the
         # remote-TPU tunnel was unavailable at bench time, NOT TPU perf.
@@ -638,7 +665,7 @@ def main(argv=None):
         if last is not None:
             # the most recent real-TPU measurement (committed BENCH_TPU.json)
             result["last_tpu_capture"] = last
-    elif on_tpu and not args.quick:
+    elif on_tpu and not args.quick and args.width == 32 and args.depth == 3:
         _persist_tpu_capture(result)
     print(json.dumps(result))
 

@@ -70,7 +70,7 @@ def default_options() -> SimulationOptions:
 
 
 def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
-         seed=0, resume_from=None):
+         seed=0, resume_from=None, pde_weights=None):
     cwd = base_dir or os.path.dirname(os.path.abspath(__file__))
     opts_file = os.path.join(cwd, "simulation_options.txt")
     opts = (SimulationOptions.from_file(opts_file)
@@ -79,8 +79,22 @@ def main(epochs=None, save_results=True, base_dir=None, second_round="scipy",
         opts.epochs = epochs
 
     exact = load_exact(os.path.join(cwd, "data"))
+    spec = build_spec(exact)
+    if pde_weights is not None:
+        # physics-weighted polish (RESULTS_TPU.md round 4, commit 549f370):
+        # boosting the PDE weights makes the noise-free physics dominate the
+        # LM least-squares system so the noisy fit/BC rows regularize
+        # instead of being overfit.  The winning recipe is mass 1e2,
+        # momentum 1e1 (scripts/cavun_polish_scan.py variant 'pde10').
+        import dataclasses
+
+        mass, momu, momv = (float(w) for w in pde_weights.split(","))
+        spec = dataclasses.replace(
+            spec, weights={**spec.weights, "PDE_MASS": mass,
+                           "PDE_MOMU": momu, "PDE_MOMV": momv},
+        )
     driver = StandardNSDriver(
-        build_spec(exact), opts, base_dir=cwd, save_results=save_results,
+        spec, opts, base_dir=cwd, save_results=save_results,
         seed=seed, second_round=second_round,
     )
     driver.train(resume_from=resume_from)
@@ -105,7 +119,10 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None, metavar="FOLDER",
                     help="resume: load Weights.h5+history from FOLDER, run only the second round")
+    ap.add_argument("--pde-weights", default=None, metavar="MASS,MOMU,MOMV",
+                    help="override the PDE loss weights (e.g. '1e2,1e1,1e1'"
+                         " — the physics-weighted LM polish recipe)")
     args = ap.parse_args()
     main(args.epochs, save_results=not args.scratch,
          second_round=args.second_round, seed=args.seed,
-         resume_from=args.resume)
+         resume_from=args.resume, pde_weights=args.pde_weights)

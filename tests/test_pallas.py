@@ -383,6 +383,62 @@ def test_bwd_chunk_cap_accounts_for_gram_carry():
         _bwd_chunk_cap(wide, 2, 2, 1 << 20, jnp.float32)
 
 
+@pytest.mark.slow
+def test_ns_residual_wide_net_capped_chunk_matches_xla():
+    """Width-128 net (a shrunken chunk cap, near the budget boundary): the
+    streamed bwd kernel must still produce XLA-jet-exact grads with the cap
+    in force — an EXECUTED check on the live-bytes inventory, complementing
+    the arithmetic assertions in test_bwd_chunk_cap_accounts_for_gram_carry
+    (round-4 advisor finding: formula-only tests can't catch an error in
+    the inventory itself)."""
+    from tpinn.geometry import Normalization
+    from tpinn.pallas.mlp_bundle import _bwd_chunk_cap, ns_residual_mse
+    from tpinn.pipeline import (
+        NSPhysics, ResidualBundle, mass_residual, momentum_residual,
+    )
+
+    widths = (2, 128, 128, 128, 3)
+    # the cap must genuinely bind for this width (vs the 2048-lane default)
+    assert _bwd_chunk_cap(widths, 2, 2, 2048, jnp.float64) < 2048
+
+    model = MLP(2, 3, width=128, depth=3, seed=0, dtype=jnp.float64)
+    params = model.params
+    norm = Normalization(
+        np.array([0.0, 500.0]), np.array([0.0, 250.0]), np.array([-1e4, 1e4])
+    )
+    phys = NSPhysics(conv=1.0, visc=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (700, 2)), dtype=jnp.float64
+    )
+    w = jnp.asarray([10.0, 1.0, 1.0])
+
+    def xla_loss(p):
+        prev = model._bound
+        model._bound = p
+        b = ResidualBundle(model, x, use_pallas=False)
+        out = (
+            w[0] * jnp.mean(mass_residual(b, norm) ** 2)
+            + w[1] * jnp.mean(momentum_residual(b, 0, phys, norm) ** 2)
+            + w[2] * jnp.mean(momentum_residual(b, 1, phys, norm) ** 2)
+        )
+        model._bound = prev
+        return out
+
+    def pallas_loss(p):
+        return jnp.sum(
+            w * ns_residual_mse(p, x, phys, norm, np_tile=2048,
+                                interpret=True)
+        )
+
+    np.testing.assert_allclose(
+        float(xla_loss(params)), float(pallas_loss(params)), rtol=1e-11
+    )
+    gx, _ = jax.flatten_util.ravel_pytree(jax.grad(xla_loss)(params))
+    gp, _ = jax.flatten_util.ravel_pytree(jax.grad(pallas_loss)(params))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gp), atol=1e-11,
+                               rtol=1e-8)
+
+
 def test_use_fused_pde_losses_falls_back_for_wide_nets():
     """The fused-kernel routing predicate must send nets too wide for the
     streamed-bwd VMEM floor to the XLA jet path with a warning instead of

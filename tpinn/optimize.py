@@ -23,7 +23,9 @@ compiled step.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 import time
 from typing import Optional, Union
 
@@ -1005,6 +1007,50 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
 # ---------------------------------------------------------------------------
 
 
+# Epoch threshold above which a second-order round auto-selects the packed
+# bf16_3x per-dot lowering (TPINN_HP_DOT=high) for the fused kernels: the
+# 3x lowering runs the one-pass hp train kernel at ~1.5x the packed-6x
+# default's rate (BENCH_TPU hp_train_bf16_3x vs hp_train), but its ~2e-6-
+# relative products perturb the loss trajectory, so short rounds — where
+# per-round compile dominates wall time anyway — keep the f32-exact
+# default.  Calibrated from the on-chip A/B (docs/hp_dot_accept_scan
+# captures: wall crossover between the two lowerings vs epochs).
+_HP_DOT_AUTO_MIN_EPOCHS = 1000
+
+
+def hp_dot_auto_policy(num_epochs: int) -> Optional[str]:
+    """The TPINN_HP_DOT value a second-order round should run under when
+    the user hasn't pinned one: 'high' (packed bf16_3x) once the round is
+    long enough to amortize its trajectory perturbation into real wall-time
+    savings, else None (keep the f32-exact packed-6x default).  Pure
+    function — unit-tested directly; applied by :func:`_hp_dot_round`."""
+    if num_epochs >= _HP_DOT_AUTO_MIN_EPOCHS:
+        return "high"
+    return None
+
+
+@contextlib.contextmanager
+def _hp_dot_round(num_epochs: int):
+    """Apply the auto hp-dot policy for one second-order round.
+
+    Respects an explicit TPINN_HP_DOT (user pin, e.g. 'mosaic' for
+    bit-parity reruns of committed campaign artifacts) and only acts on the
+    TPU backend — the policy swaps fused-kernel MXU lowerings, which other
+    backends don't trace.  The env var is read at TRACE time and every
+    round builds fresh jitted closures, so scoping the var to the round is
+    race-free within a process."""
+    choice = hp_dot_auto_policy(num_epochs)
+    if (choice is None or os.environ.get("TPINN_HP_DOT") is not None
+            or jax.default_backend() != "tpu"):
+        yield
+        return
+    os.environ["TPINN_HP_DOT"] = choice
+    try:
+        yield
+    finally:
+        os.environ.pop("TPINN_HP_DOT", None)
+
+
 def minimize(
     pb: OptimizationProblem,
     strategy: str,
@@ -1032,7 +1078,7 @@ def minimize(
         return _minimize_first_order(
             pb, optimizer, num_epochs, round_name=f"keras_{name}"
         )
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision("highest"), _hp_dot_round(num_epochs):
         if strategy == "scipy":
             method = optimizer if isinstance(optimizer, str) else "BFGS"
             return _minimize_scipy(pb, method, num_epochs)
