@@ -1011,11 +1011,17 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
 # bf16_3x per-dot lowering (TPINN_HP_DOT=high) for the fused kernels: the
 # 3x lowering runs the one-pass hp train kernel at ~1.5x the packed-6x
 # default's rate (BENCH_TPU hp_train_bf16_3x vs hp_train), but its ~2e-6-
-# relative products perturb the loss trajectory, so short rounds — where
-# per-round compile dominates wall time anyway — keep the f32-exact
-# default.  Calibrated from the on-chip A/B (docs/hp_dot_accept_scan
-# captures: wall crossover between the two lowerings vs epochs).
-_HP_DOT_AUTO_MIN_EPOCHS = 1000
+# relative products perturb the loss trajectory, and its first-ever
+# compile is expensive.  Calibrated from the on-chip 1000-epoch A/B
+# (docs/hp_dot_accept_scan_r05*.txt): the in-round step saving is
+# ~4.7 ms/epoch (BFGS round wall 34.7 s vs 39.4 s at 1000 epochs), while
+# the one-time cold Mosaic compile of the 3x lowerings costs ~1000 s
+# (absorbed into the persistent compilation cache afterwards — tpinn/
+# __init__.py).  At 20k epochs the per-round saving is ~95 s: material
+# against both the trajectory perturbation and the amortized compile, and
+# safely above every committed campaign recipe's f32 second-order rounds
+# (5000 epochs), which therefore keep the f32-exact default bit-stable.
+_HP_DOT_AUTO_MIN_EPOCHS = 20000
 
 
 def hp_dot_auto_policy(num_epochs: int) -> Optional[str]:
