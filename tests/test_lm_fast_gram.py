@@ -169,6 +169,55 @@ def test_split_carry_lm_uses_fast_gram(lm_driver):
         config.set_dtype(None)
 
 
+def test_device_ladder_matches_host_loop(lm_driver, monkeypatch):
+    """The on-device damping ladder (round-5 VERDICT item 7) must run the
+    SAME accept semantics as the host eigh loop: from one θ₀, both solvers
+    produce near-identical descent trajectories (they differ only in the
+    damped-solve factorization — per-rung f64 Cholesky on device vs one
+    host eigh — whose solutions agree to solver roundoff)."""
+    params0 = lm_driver.model.variables.get()
+
+    def run(solver):
+        lm_driver.model.variables.set(params0)
+        pb = OptimizationProblem(
+            lm_driver.model.variables, lm_driver.losses, [], callbacks=[]
+        )
+        monkeypatch.setenv("TPINN_LM_SOLVER", solver)
+        ns.minimize(pb, "jax", "LM", num_epochs=4)
+        return pb
+
+    pb_dev = run("device")
+    assert pb_dev.lm_solver == "device_ladder"
+    assert pb_dev.history.loss_global[-1] < pb_dev.history.loss_global[0]
+
+    pb_host = run("host")
+    assert pb_host.lm_solver == "host_eigh"
+    np.testing.assert_allclose(
+        pb_dev.history.loss_global, pb_host.history.loss_global, rtol=1e-3
+    )
+    lm_driver.model.variables.set(params0)
+
+
+def test_split_carry_keeps_host_loop(lm_driver, monkeypatch):
+    """float32 LM needs the host-f64 split carry (sub-ulp θ navigation);
+    the device ladder must never engage there, even when forced."""
+    from tpinn import config
+
+    config.set_dtype(jnp.float32)
+    try:
+        drv32 = StandardNSDriver(lm_driver.spec, lm_driver.opts,
+                                 base_dir=".", save_results=False,
+                                 seed=0, second_round="lm")
+        pb = OptimizationProblem(
+            drv32.model.variables, drv32.losses, [], callbacks=[]
+        )
+        monkeypatch.setenv("TPINN_LM_SOLVER", "device")
+        ns.minimize(pb, "jax", "LM", num_epochs=2)
+        assert pb.lm_solver == "host_eigh"
+    finally:
+        config.set_dtype(None)
+
+
 def test_miswired_point_residual_falls_back(lm_driver, capsys):
     """A point_residual that disagrees with the batch closure must be
     rejected by the theta0 validation, not silently optimized."""

@@ -918,6 +918,98 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     # dense-Jacobian reference without re-deriving the internal closures
     pb.lm_normal_eqs = normal_eqs
 
+    # ---- on-device damping ladder (pure-f64 path) ---------------------
+    # The host loop's per-iteration cost after the fast Gram is (a) a host
+    # LAPACK P×P eigendecomposition and (b) one host→device round-trip per
+    # damping candidate (each accept/reject re-evaluates the residuals).
+    # For the pure-f64 route — the f64-on-TPU campaign path, where θ needs
+    # no split carry — the whole search fuses into ONE launch: power
+    # iteration for w_max (the relative-damping scale the host loop gets
+    # from eigh), then a lax.while_loop that Cholesky-solves the damped
+    # normal equations, evaluates the candidate residuals, runs the SAME
+    # paired-difference accept test, and adapts μ — identical accept
+    # semantics (μ/3 on accept, μ×10 on reject, 1e12 saturation floor),
+    # different factorization (per-rung Cholesky instead of one eigh:
+    # O(P³/3) on the MXU per candidate, and a non-PD trial at tiny λ
+    # yields NaN → reject → climb, exactly like a failed step).
+    # μ saturation checks mu_rej (the post-reject value) so a launch never
+    # exits with done=False; host-side `not accepted` ⇒ converged, the
+    # same invariant the host loop's while-exit provides.
+    # TPINN_LM_SOLVER: auto (device on TPU, host elsewhere — host LAPACK
+    # is already at its roofline on CPU) | device | host (bit-parity
+    # reruns of committed campaign artifacts).
+    solver_env = os.environ.get("TPINN_LM_SOLVER", "auto")
+    use_ladder = (not split) and (
+        solver_env == "device"
+        or (solver_env == "auto" and jax.default_backend() == "tpu")
+    )
+    pb.lm_solver = "device_ladder" if use_ladder else "host_eigh"
+
+    if point_entries is not None:
+        def normal_eqs_dev(theta):
+            JTJ, JTr = gram_fast(theta)
+            return res_jit(theta), JTJ, JTr
+    else:
+        def normal_eqs_dev(theta):
+            rows = [jac_chunk(theta, vs) for vs in basis_chunks]
+            Jt = jnp.concatenate(rows, axis=0)[:n_par]
+            r = res_jit(theta)
+            JTJ, JTr = gram(Jt, r)
+            return r, JTJ, JTr
+
+    _tiny64 = float(np.finfo(np.float64).tiny)
+
+    def _ladder_fn(theta, mu, JTJ, JTr, r_cur):
+        n = JTJ.shape[0]
+        nrm = jnp.linalg.norm(JTr)
+        v0 = jnp.where(
+            nrm > 0,
+            JTr / (nrm + _tiny64),
+            jnp.full((n,), 1.0 / np.sqrt(max(n, 1)), JTJ.dtype),
+        )
+
+        def _pi(v, _):
+            v2 = JTJ @ v
+            return v2 / (jnp.linalg.norm(v2) + _tiny64), None
+
+        v, _ = jax.lax.scan(_pi, v0, None, length=24)
+        w_max = v @ (JTJ @ v)
+        eye_dev = jnp.eye(n, dtype=JTJ.dtype)
+
+        def _cond(c):
+            return jnp.logical_not(c["done"])
+
+        def _body(c):
+            lam = c["mu"] * w_max + _tiny64
+            L = jnp.linalg.cholesky(JTJ + lam * eye_dev)
+            delta = -jax.scipy.linalg.cho_solve((L, True), JTr)
+            th = theta + delta
+            r = residuals(th)
+            df = jnp.dot(r - r_cur, r + r_cur)
+            ok = jnp.all(jnp.isfinite(delta)) & jnp.isfinite(df) & (df < 0)
+            mu_rej = c["mu"] * 10.0
+            return {
+                "mu": jnp.where(
+                    ok, jnp.maximum(c["mu"] / 3.0, 1e-14), mu_rej
+                ),
+                "done": ok | (mu_rej > 1e12),
+                "accepted": ok,
+                "theta": jnp.where(ok, th, c["theta"]),
+                "df": jnp.where(ok, df, jnp.zeros((), JTJ.dtype)),
+            }
+
+        init = {
+            "mu": jnp.asarray(mu, JTJ.dtype),
+            "done": ~jnp.isfinite(w_max) | (w_max <= 0),
+            "accepted": jnp.array(False),
+            "theta": theta,
+            "df": jnp.zeros((), JTJ.dtype),
+        }
+        out = jax.lax.while_loop(_cond, _body, init)
+        return out["theta"], out["mu"], out["df"], out["accepted"]
+
+    ladder = _hp(_ladder_fn)
+
     pb.history.start_round("jax_LM")
     pb.last_round_name = "jax_LM"
     t0 = time.perf_counter()
@@ -953,41 +1045,69 @@ def _minimize_jax_lm(pb, num_epochs: int, chunk: int = 256,
     f_cur = float(loss_fn(theta0))
     log_targets = set(_log_iters(num_epochs, LOG_STRIDE)[1:])
     converged = False
-    for it in range(1, num_epochs + 1):
-        t_it = time.perf_counter()
-        r_cur, JTJ, JTr = normal_eqs(theta64)
-        w, V = np.linalg.eigh(JTJ)  # host LAPACK
-        w = np.maximum(w, 0.0)
-        w_max = float(w[-1]) if w.size else 0.0
-        if not np.isfinite(w_max) or w_max <= 0:
-            converged = True
-        accepted = False
-        c = V.T @ JTr
-        while not converged:
-            lam = mu * w_max + np.finfo(np.float64).tiny
-            delta64 = -(V @ (c / (w + lam)))  # host float64 throughout
-            r_new = _eval_res(theta64 + delta64)
-            df = _pair_diff_ev(r_new, r_cur)
-            if np.isfinite(df) and df < 0:
-                theta64 = theta64 + delta64
-                f_cur = f_cur + df
-                mu = max(mu / 3.0, 1e-14)
-                accepted = True
+    if use_ladder:
+        theta_dev = jnp.asarray(theta64)  # f64 on device (x64 required)
+        for it in range(1, num_epochs + 1):
+            t_it = time.perf_counter()
+            r_cur, JTJ, JTr = normal_eqs_dev(theta_dev)
+            theta_new, mu_new, df, accepted = ladder(
+                theta_dev, mu, JTJ, JTr, r_cur
+            )
+            accepted = bool(accepted)
+            mu = float(mu_new)
+            if accepted:
+                theta_dev = theta_new
+                f_cur = f_cur + float(df)
+            else:
+                converged = True  # ladder saturated (or invalid w_max)
+            theta64 = np.asarray(theta_dev, np.float64)
+            theta = theta_dev
+            pb.last_opt_state = {
+                "kind": "lm", "theta64": theta64.copy(), "mu": float(mu),
+            }
+            if verbose:
+                print(f"  LM iter {it}: loss {f_cur:.3e}, mu {mu:.1e}, "
+                      f"{time.perf_counter() - t_it:.1f}s", flush=True)
+            if it in log_targets or converged or not accepted:
+                _log_point(pb, eval_fn, unravel(theta), it)
+            if converged:
                 break
-            mu *= 10.0
-            if mu > 1e12:  # no damping yields progress: at the floor
+    else:
+        for it in range(1, num_epochs + 1):
+            t_it = time.perf_counter()
+            r_cur, JTJ, JTr = normal_eqs(theta64)
+            w, V = np.linalg.eigh(JTJ)  # host LAPACK
+            w = np.maximum(w, 0.0)
+            w_max = float(w[-1]) if w.size else 0.0
+            if not np.isfinite(w_max) or w_max <= 0:
                 converged = True
-        theta = jnp.asarray(theta64.astype(np.result_type(dtype)))
-        pb.last_opt_state = {
-            "kind": "lm", "theta64": theta64.copy(), "mu": float(mu),
-        }
-        if verbose:
-            print(f"  LM iter {it}: loss {f_cur:.3e}, mu {mu:.1e}, "
-                  f"{time.perf_counter() - t_it:.1f}s", flush=True)
-        if it in log_targets or converged or not accepted:
-            _log_point(pb, eval_fn, unravel(theta), it)
-        if converged:
-            break
+            accepted = False
+            c = V.T @ JTr
+            while not converged:
+                lam = mu * w_max + np.finfo(np.float64).tiny
+                delta64 = -(V @ (c / (w + lam)))  # host float64 throughout
+                r_new = _eval_res(theta64 + delta64)
+                df = _pair_diff_ev(r_new, r_cur)
+                if np.isfinite(df) and df < 0:
+                    theta64 = theta64 + delta64
+                    f_cur = f_cur + df
+                    mu = max(mu / 3.0, 1e-14)
+                    accepted = True
+                    break
+                mu *= 10.0
+                if mu > 1e12:  # no damping yields progress: at the floor
+                    converged = True
+            theta = jnp.asarray(theta64.astype(np.result_type(dtype)))
+            pb.last_opt_state = {
+                "kind": "lm", "theta64": theta64.copy(), "mu": float(mu),
+            }
+            if verbose:
+                print(f"  LM iter {it}: loss {f_cur:.3e}, mu {mu:.1e}, "
+                      f"{time.perf_counter() - t_it:.1f}s", flush=True)
+            if it in log_targets or converged or not accepted:
+                _log_point(pb, eval_fn, unravel(theta), it)
+            if converged:
+                break
 
     # materialize at the working dtype (for f32 the nearest-representable
     # rounding of the float64 carry; sub-ulp residue is lost by saving,
