@@ -150,10 +150,13 @@ MANIFEST = {
         "history": "examples/Poisson_Problem/Images/"
                    "Poisson_misto_history_loss.json",
         "stages": [
-            # round-5 recipe: one LONG fast-Gram f64 LM round (the plain-
-            # Poisson recipe, 3x the iteration budget) instead of round 4's
-            # single 300-iter round that left the row at-par
-            _stage(["--epochs", "900", "--second-round", "lm",
+            # round-5 recipe: one LONG fast-Gram f64 LM round.  The training
+            # losses converge to 1e-10..1e-12 within ~300 iters; the test MSE
+            # is then generalization-limited and descends at a steady
+            # ~0.12%/iter (measured: 900 iters -> 1.07e-7, still on-slope), so
+            # the <=5e-8 target needs ~3000 iters (2000 measured 5.92e-8).  Runs on the on-device
+            # damping ladder (TPINN_LM_SOLVER auto).
+            _stage(["--epochs", "3000", "--second-round", "lm",
                     "--no-plots"], env=X64, tag="lm"),
         ],
         "targets": {"fit": 5e-8},
